@@ -161,7 +161,6 @@ ERROR_MSGS = [  # (exception-ish message, contains custom-filter pattern?)
     ("CHFW0029E: Unable to fully sendVia channel chain HttpsOutbound; rc=7", True),
     ("PROXY0013E: backend returned 503 Service Temporarily Unavailable for upstream", True),
     ("ORBX0320E: CORBA NO_RESPONSE received while invoking remote bean", True),
-    ("J2CA0056I: java.lang.OutOfMemoryError: Java heap space while allocating buffer", False),
 ]
 WARN_MSGS = [
     "SECJ0305W: The role-based authorization check failed for admin-authz operation",
@@ -466,11 +465,11 @@ def _gen_was(n: int, rng: np.random.Generator) -> pd.DataFrame:
         + "   " + pd.Series(wclass) + " " + pd.Series(msg.astype(object))
     )
 
-    code = np.select(
-        [subtype == "tto", subtype == "tto_rel", subtype == "hung",
-         subtype == "hung_rel", subtype == "starv", subtype == "recycle"],
-        ["WTRN0006W", "WTRN0124I", "WSVR0605W", "WSVR0606W", "HMGR0152W", "WSVR0001I"],
-        default="",
+    code = (
+        pd.Series(msg.astype(object))
+        .str.extract(r"^([A-Z][A-Z0-9]{3,4}\d{4}[EWIAF]): ", expand=False)
+        .fillna("")
+        .values
     )
     category = np.where(np.isin(evt, ["E", "W", "F"]), "error", "audit")
 

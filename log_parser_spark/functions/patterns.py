@@ -78,7 +78,8 @@ WAS = (
 )
 
 # message-code sub-parsers, websphereLogParser.sh:234-317
-WAS_MSG_CODE = r"^(?:\S+ )?(?P<code>[A-Z]{4,5}\d{4}[EWIA]): "
+# code shape: 4-5 alnum product prefix + 4 digits + severity letter (J2CA0056I)
+WAS_MSG_CODE = r"^(?P<code>[A-Z][A-Z0-9]{3,4}\d{4}[EWIAF]): "
 WTRN0006W = r"Transaction (?P<txn_id>\S+) has timed out after (?P<timeout_s>\d+) seconds"
 WTRN0124I = r"(?P<n_threads>\d+) thread"  # affected-thread count
 # hung-thread detect (WSVR0605W) / release (WSVR0606W), websphereLogParser.sh:278-307
@@ -149,6 +150,15 @@ GC_TYPES = {"GC": "GC", "Full GC": "FULLGC", "Full GC (System)": "FULLGC_SYS"}
 STATIC_EXT = r"^(jpg|gif|png|ico|js|css|woff|swf|jar|htm|html|txt)$"
 XCL_URI = r"(\.css\.xhtml$|\.js\.xhtml$|\.png\.xhtml$|\.gif\.xhtml$)"
 XCL_PARAMS = r"WilyCmd=cmdMetrics"
+
+def anon(rx: str) -> str:
+    """Strip Python named groups -> non-capturing, for JVM rlike/DuckDB use.
+
+    Java regex rejects `(?P<name>...)`; for pure match tests the groups are
+    irrelevant, so `(?:...)` keeps the pattern identical in all engines.
+    """
+    return re.sub(r"\(\?P<[^>]+>", "(?:", rx)
+
 
 COMPILED: dict[str, re.Pattern[str]] = {
     name: re.compile(rx)

