@@ -71,7 +71,6 @@ DYNAMIC_URIS = [
     "/salesMgmt/pages/ctlg/ctlgItemSearch.xhtml",
     "/issMgmt/pages/issueLogSearch.xhtml",
     "/secMgmt/pages/usrSrch/search.xhtml",
-    LOGIN_URI,
 ]
 STATIC_URIS = [
     "/dashBoardScreen/global/images/logo.png",

@@ -34,7 +34,8 @@ def baseline_deviation(uri_agg: DataFrame, perf_baseline: DataFrame,
     Mirrors webAccessLogParser.sh:1010-1022: diff = art - baseline,
     deviation% = diff/baseline*100 (guarded for missing baselines).
     """
-    out = uri_agg.join(F.broadcast(perf_baseline), uri_agg.uri_path == perf_baseline.uri, "left")
+    bl = perf_baseline.select(F.col("uri").alias("bl_uri"), "baseline_art")
+    out = uri_agg.join(F.broadcast(bl), uri_agg["uri"] == bl["bl_uri"], "left")
     art = F.col(art_col)
     return (
         out.withColumn("baseline_diff", F.round(art - F.col("baseline_art"), 6))
@@ -45,7 +46,7 @@ def baseline_deviation(uri_agg: DataFrame, perf_baseline: DataFrame,
                 F.round((art - F.col("baseline_art")) / F.col("baseline_art") * 100.0, 2),
             ),
         )
-        .drop("uri")
+        .drop("bl_uri")
     )
 
 

@@ -34,17 +34,25 @@ def routed_for_write(classified: DataFrame, num_partitions: int = 32) -> DataFra
     return salted(classified.select(*SINK_COLUMNS), num_partitions, "category")
 
 
+def with_scan_provenance(df: DataFrame) -> DataFrame:
+    """Capture (partition_id, input_file) AT SCAN TIME — input_file_name()
+    is undefined after a multi-source join, and scan-stage identity is the
+    correct lineage grain anyway."""
+    return df.withColumn("partition_id", F.spark_partition_id()).withColumn(
+        "input_file", F.input_file_name()
+    )
+
+
 def lineage_frame(classified: DataFrame) -> DataFrame:
     """Per-partition lineage records (S10 / north rule).
 
     The reference logs per-file progress to parser.log (usage.sh:56);
     the rebuild records, per input partition: the files scanned, rows in,
-    parse hit/miss, and per-sink routed counts.
+    parse hit/miss, and per-sink routed counts. Requires the provenance
+    columns added by ``with_scan_provenance`` before any join.
     """
     per_cat = (
         classified
-        .withColumn("partition_id", F.spark_partition_id())
-        .withColumn("input_file", F.input_file_name())
         .groupBy("partition_id", "category")
         .agg(
             F.count("*").alias("rows"),

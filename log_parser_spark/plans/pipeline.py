@@ -1,0 +1,215 @@
+"""The end-to-end daily pipeline: scan -> parse -> enrich -> route -> sinks ->
+aggregates -> alerts/history, with lineage + resumable snapshot commits.
+
+Reference lifecycle being re-expressed (SURVEY.md §3): masterLogParser.sh runs
+four AWK parsers sequentially over the day's files; here one Spark DAG scans
+the pruned token table once, classifies/routes in a single pass, fans out to
+four sinks in ONE partitionBy write, then runs every report off one persisted
+parsed frame per family.
+
+Physical-plan intent at cluster scale:
+  - scan: partition-pruned parquet/Iceberg read (S1/S4), predicate pushdown
+  - detokenize+classify: one Python/Arrow hop, then JVM-only gates
+  - route: salted repartition (skew) -> single fan-out write (S7)
+  - aggregates: hash aggregates off a persisted parsed frame (shared-scan
+    discipline, SURVEY.md §4 'multi-aggregate')
+  - every sink commit is an idempotent txid -> crash-resume never duplicates
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import MAIN_DATE
+from ..operators import aggregates as A
+from ..operators import alerts as AL
+from ..operators import topn as TN
+from ..operators.enrich import enrich_route_meta
+from ..operators.parse import classify, parsed_family, with_line
+from ..operators.route import lineage_frame, routed_for_write
+from ..sources.atomic import AtomicTable
+from ..sources.token_table import read_all_lookups, read_token_sequences
+
+
+@dataclass
+class PipelineResult:
+    out_dir: Path
+    rows_in: int = 0
+    sink_counts: dict = field(default_factory=dict)
+    reports: dict = field(default_factory=dict)
+    elapsed_s: float = 0.0
+    committed: list = field(default_factory=list)
+    skipped: list = field(default_factory=list)
+
+
+def _access_reports(access: DataFrame, lookups: dict) -> dict[str, DataFrame]:
+    from ..operators.enrich import baseline_deviation
+
+    uri = A.uri_stats(access)
+    return {
+        "status_counts": A.status_counts(access),
+        "uri_stats": baseline_deviation(uri, lookups["perf_baseline"]),
+        "hourly_stats": A.hourly_stats(access),
+        "daily_rollup": A.daily_rollup(access),
+        "uid_stats": A.uid_stats(access),
+        "domain_stats": A.domain_stats(access),
+        "ext_stats": A.ext_stats(access),
+        "browser_usage": A.browser_usage(access),
+        "os_usage": A.os_usage(access),
+        "server_stats": A.server_stats(access),
+        "was_server_stats": A.was_server_stats(access, lookups["clone_map"]),
+        "method_by_server": A.method_by_server(access),
+        "status_by_server": A.status_by_server(access),
+        "errors_by_uri": A.errors_by_uri(access),
+        "domain_hour_users": A.domain_hour_users(access),
+        "sessions": A.sessionization(access),
+        "top_slowest": TN.top_slowest_requests(access),
+        "top_uris_by_art": TN.top_uris_by_art(access),
+        "top_error_urls": TN.top_error_urls(access),
+    }
+
+
+def _was_reports(was: DataFrame, lookups: dict) -> dict[str, DataFrame]:
+    return {
+        "was_events_by_server": A.was_event_counts(was, "source"),
+        "was_events_by_component": A.was_event_counts(was, "component"),
+        "was_events_by_class": A.was_event_counts(was, "wclass"),
+        "was_events_by_exception": A.was_event_counts(was, "exception"),
+        "was_events_by_code": A.was_event_counts(was, "msg_code"),
+        "hung_threads": A.hung_thread_summary(was),
+        "tto": A.tto_summary(was),
+        "starvation": A.starvation_summary(was),
+        "txn_pairs": A.txn_timeout_pairs(was),
+        "filtered_errors": A.filtered_error_counts(was, lookups["custom_filter"]),
+        "oom": A.oom_counts(was),
+        "was_top_errors_by_component": TN.was_top_events(was, "component", ["E", "F"]),
+        "was_top_warns_by_component": TN.was_top_events(was, "component", ["W"]),
+    }
+
+
+def _err_reports(err: DataFrame) -> dict[str, DataFrame]:
+    return {
+        "weberror_by_server": A.weberror_counts_by_server(err),
+        "weberror_by_msg": A.weberror_counts_by_msg(err),
+        "weberror_by_referer": A.weberror_counts_by_referer(err),
+        "mpm_peak": A.mpm_max_busy(err),
+        "mpm_timeline": A.mpm_timeline(err),
+        "http_recycles": A.http_recycles(err),
+    }
+
+
+def _gc_reports(gc: DataFrame, th: dict) -> dict[str, DataFrame]:
+    return {
+        "gc_daily": A.gc_daily_stats(gc),
+        "gc_last": A.gc_last_record(gc),
+        "gc_violations": A.gc_threshold_violations(
+            gc,
+            th.get(("fgcOldGenAfTh", "jvm.App"), 4_700_000.0),
+            th.get(("fgcPGenAfTh", "jvm.App"), 2_097_152.0),
+        ),
+    }
+
+
+def run_pipeline(
+    spark: SparkSession,
+    dataset_dir: str | Path,
+    out_dir: str | Path,
+    recorddate: str = MAIN_DATE,
+    sources: list[str] | None = None,
+    num_partitions: int | None = None,
+    stop_after: int | None = None,  # crash-injection hook for resume tests
+) -> PipelineResult:
+    t0 = time.time()
+    out = Path(out_dir)
+    res = PipelineResult(out_dir=out)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    tokens = read_token_sequences(spark, dataset_dir, sources)
+    lookups = read_all_lookups(spark, dataset_dir)
+    th = AL.thresholds_dict(lookups["thresholds"])
+
+    from ..operators.route import with_scan_provenance
+
+    classified = enrich_route_meta(
+        classify(with_line(with_scan_provenance(tokens))), lookups["route_meta"]
+    ).persist()
+
+    commits = 0
+
+    def commit(table: str, df: DataFrame, txid: str, partition_by=None, meta=None) -> bool:
+        nonlocal commits
+        at = AtomicTable(out / table)
+        if at.is_committed(txid):
+            res.skipped.append(f"{table}:{txid}")
+            return False
+        if stop_after is not None and commits >= stop_after:
+            raise RuntimeError(f"injected crash before commit {table}:{txid}")
+        at.commit(df, txid, partition_by=partition_by, meta=meta)
+        res.committed.append(f"{table}:{txid}")
+        commits += 1
+        return True
+
+    # ---- route: one salted fan-out write to the 4 category sinks (S7)
+    commit("sinks", routed_for_write(classified, num_partitions), f"{recorddate}-routed",
+           partition_by=["category"])
+
+    # ---- lineage (S10 / north rule)
+    commit("lineage", lineage_frame(classified).withColumn("snapshot_id", F.lit(f"{recorddate}-routed")),
+           f"{recorddate}-lineage")
+
+    # ---- per-family parsed frames (shared-scan discipline: persist once)
+    date_gate = F.col("event_date") == recorddate  # F8 summarize-date gate
+    access = parsed_family(classified, "access").filter(
+        (F.col("category") == "access") & date_gate).persist()
+    was = parsed_family(classified, "was").filter(date_gate).persist()
+    err = parsed_family(classified, "weberror").filter(date_gate).persist()
+    gc = parsed_family(classified, "gc").filter(date_gate).persist()
+
+    reports: dict[str, DataFrame] = {}
+    reports.update(_access_reports(access, lookups))
+    reports.update(_was_reports(was, lookups))
+    reports.update(_err_reports(err))
+    reports.update(_gc_reports(gc, th))
+
+    for name, df in reports.items():
+        commit(f"reports/{name}", df, recorddate)
+    res.reports = reports
+
+    # ---- history append (S8): one daily row per history table
+    commit("history/http_perf", A.daily_rollup(access).withColumn("record_date", F.lit(recorddate)),
+           recorddate)
+    commit("history/gc", A.gc_daily_stats(gc), recorddate)
+    commit("history/recycles", A.http_recycles(err).withColumn("record_date", F.lit(recorddate)),
+           recorddate)
+
+    # ---- alerts (F9 -> S9)
+    alerts = AL.build_alerts(
+        th,
+        daily=A.daily_rollup(access),
+        uri_agg=A.uri_stats(access).withColumnRenamed("uri", "uri"),
+        server_err=A.weberror_counts_by_server(err),
+        mpm_peak=A.mpm_max_busy(err),
+        tto=A.tto_summary(was),
+        starv=A.starvation_summary(was),
+        hung=A.hung_thread_summary(was),
+        gc_daily=A.gc_daily_stats(gc),
+    )
+    if alerts is not None:
+        commit("alerts", alerts, recorddate)
+
+    # ---- metrics
+    cat_counts = {r["category"]: r["cnt"] for r in
+                  classified.groupBy("category").agg(F.count("*").alias("cnt")).collect()}
+    res.sink_counts = cat_counts
+    res.rows_in = sum(cat_counts.values())
+    res.elapsed_s = time.time() - t0
+
+    for df in (access, was, err, gc, classified):
+        df.unpersist()
+    return res

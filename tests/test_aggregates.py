@@ -1,0 +1,197 @@
+"""Aggregate library vs pandas oracle computed from generator truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from log_parser_spark.datagen import MAIN_DATE
+from log_parser_spark.operators import aggregates as A
+from log_parser_spark.operators import topn as TN
+from log_parser_spark.operators.parse import parsed_family
+
+
+@pytest.fixture(scope="module")
+def access(classified):
+    df = parsed_family(classified, "access").filter(
+        (F.col("category") == "access") & (F.col("event_date") == MAIN_DATE)
+    ).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def t_access(truth) -> pd.DataFrame:
+    t = truth[(truth.category == "access") & (truth.event_date == MAIN_DATE)].copy()
+    t["range"] = np.select(
+        [t.a_rt <= 1, t.a_rt <= 5, t.a_rt <= 10, t.a_rt <= 20],
+        ["<=1Sec", "<=5Sec", "<=10Sec", "<=20Sec"], default=">20Sec",
+    )
+    return t
+
+
+@pytest.fixture(scope="module")
+def was_df(classified):
+    return parsed_family(classified, "was").filter(F.col("event_date") == MAIN_DATE).persist()
+
+
+@pytest.fixture(scope="module")
+def t_was(truth):
+    return truth[(truth.family == "was") & (truth.event_date == MAIN_DATE)]
+
+
+@pytest.fixture(scope="module")
+def err_df(classified):
+    return parsed_family(classified, "weberror").filter(F.col("event_date") == MAIN_DATE).persist()
+
+
+@pytest.fixture(scope="module")
+def gc_df(classified):
+    return parsed_family(classified, "gc").filter(F.col("event_date") == MAIN_DATE).persist()
+
+
+def test_status_counts(access, t_access):
+    got = A.status_counts(access).toPandas().set_index("status")["cnt"]
+    exp = t_access["a_status"].astype(int).value_counts().sort_index()
+    assert got.sort_index().equals(exp.rename_axis("status"))
+
+
+def test_uri_stats(access, t_access):
+    got = A.uri_stats(access).toPandas().set_index("uri").sort_index()
+    exp = t_access.groupby("a_uri_path").agg(
+        cnt=("doc_id", "size"), sum_rt=("a_rt", "sum"),
+        min_rt=("a_rt", "min"), max_rt=("a_rt", "max"))
+    assert (got["cnt"] == exp["cnt"]).all()
+    assert (got["sum_rt"] - exp["sum_rt"]).abs().max() < 1e-4
+    assert (got["min_rt"] - exp["min_rt"]).abs().max() < 1e-9
+    assert (got["max_rt"] - exp["max_rt"]).abs().max() < 1e-9
+    # range pivot columns
+    exp_r1 = t_access[t_access["range"] == "<=1Sec"].groupby("a_uri_path").size()
+    assert got["r1_cnt"].eq(exp_r1.reindex(got.index).fillna(0)).all()
+
+
+def test_hourly_stats(access, t_access):
+    got = A.hourly_stats(access).toPandas().set_index("hour").sort_index()
+    assert list(got.index) == list(range(24))
+    exp_cnt = t_access.groupby("hour").size().reindex(got.index).fillna(0)
+    assert (got["cnt_incl"] == exp_cnt).all()
+    exp_uuc = t_access.groupby("hour")["a_uid"].nunique().reindex(got.index).fillna(0)
+    assert (got["uuc"] == exp_uuc).all()
+
+
+def test_distinct_users_sessions(access, t_access):
+    uuc = A.distinct_users_daily(access).collect()[0]["uuc"]
+    assert uuc == t_access["a_uid"].nunique()
+    jsc = A.distinct_sessions(access).collect()[0]["jsc"]
+    with_sess = t_access[t_access.a_jsession != "-"]
+    assert jsc == with_sess.groupby(["a_clone_id", "a_jsession"]).ngroups
+
+
+def test_browser_and_os_usage(access, t_access):
+    got = A.browser_usage(access).toPandas().set_index("browser")["uuc"]
+    exp = t_access.groupby("a_browser")["a_uid"].nunique()
+    assert got.sort_index().equals(exp.sort_index().rename_axis("browser"))
+    got_os = A.os_usage(access).toPandas().set_index("os_name")["uuc"]
+    exp_os = t_access.groupby("a_os")["a_uid"].nunique()
+    assert got_os.sort_index().equals(exp_os.sort_index().rename_axis("os_name"))
+
+
+def test_method_by_server_pivot(access, t_access):
+    got = A.method_by_server(access).toPandas().set_index("web_server")
+    exp = t_access.pivot_table(index="source", columns="a_method", values="doc_id",
+                               aggfunc="size", fill_value=0)
+    for m in ["GET", "POST", "PUT", "DELETE", "HEAD"]:
+        e = exp[m] if m in exp else pd.Series(0, index=exp.index)
+        assert (got[m].reindex(exp.index) == e).all(), m
+
+
+def test_errors_by_uri(access, t_access):
+    got = A.errors_by_uri(access).toPandas()
+    exp = (t_access[t_access.a_status >= 400]
+           .groupby(["a_uri_path", "a_status"]).size().reset_index(name="cnt"))
+    m = got.merge(exp, left_on=["uri", "status"], right_on=["a_uri_path", "a_status"])
+    assert len(m) == len(got) == len(exp)
+    assert (m["cnt_x"] == m["cnt_y"]).all()
+
+
+def test_top_slowest(access, t_access):
+    got = TN.top_slowest_requests(access, 10).toPandas()
+    exp = t_access.sort_values(["a_rt", "doc_id"], ascending=[False, True]).head(10)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+
+
+def test_sessionization(access, t_access):
+    got = A.sessionization(access).toPandas()
+    t = t_access[(t_access.a_jsession != "-") & (t_access.a_is_login | t_access.a_is_logout)]
+    exp_groups = t.groupby(["a_clone_id", "a_jsession", "a_uid"]).ngroups
+    assert len(got) == exp_groups
+    # durations non-negative where both ends exist
+    d = got["duration_s"].dropna()
+    assert (d >= 0).all()
+
+
+def test_was_summaries(was_df, t_was):
+    hung = A.hung_thread_summary(was_df).toPandas().set_index("jvm")
+    exp_nhtc = t_was[t_was.w_code == "WSVR0605W"].groupby("source").size()
+    assert hung["nhtc"].sort_index().equals(exp_nhtc.sort_index().rename_axis("jvm"))
+    exp_mhtc = t_was[t_was.w_code.isin(["WSVR0605W", "WSVR0606W"])].groupby("source")["w_chtc"].max()
+    assert hung["mhtc"].astype(int).sort_index().equals(
+        exp_mhtc.astype(int).sort_index().rename_axis("jvm"))
+
+    tto = A.tto_summary(was_df).toPandas().set_index("jvm")
+    exp_tto = t_was[t_was.w_code == "WTRN0006W"].groupby("source").size()
+    assert tto["tto_cnt"].sort_index().equals(exp_tto.sort_index().rename_axis("jvm"))
+
+    st = A.starvation_summary(was_df).toPandas().set_index("jvm")
+    exp_st = t_was[t_was.w_code == "HMGR0152W"].groupby("source")["w_delay_s"].agg(["size", "sum"])
+    assert st["starv_cnt"].sort_index().equals(exp_st["size"].sort_index().rename_axis("jvm"))
+    assert st["sum_delay_s"].astype(int).sort_index().equals(
+        exp_st["sum"].astype(int).sort_index().rename_axis("jvm"))
+
+
+def test_was_event_counts(was_df, t_was):
+    got = A.was_event_counts(was_df, "component").toPandas()
+    exp = t_was.groupby(["w_component", "w_evt"]).size().reset_index(name="cnt")
+    m = got.merge(exp, left_on=["component", "evt"], right_on=["w_component", "w_evt"])
+    assert len(m) == len(got) == len(exp)
+    assert (m["cnt_x"] == m["cnt_y"]).all()
+
+
+def test_txn_pairs(was_df, t_was):
+    got = A.txn_timeout_pairs(was_df).toPandas()
+    tto = t_was[t_was.w_subtype == "tto"][["source", "w_thread", "w_txn_id"]]
+    rel = t_was[t_was.w_subtype == "tto_rel"][["source", "w_thread", "w_txn_id"]]
+    exp = tto.merge(rel, on=["source", "w_thread", "w_txn_id"])
+    assert len(got) == len(exp)
+
+
+def test_mpm_peak(err_df, truth):
+    t = truth[(truth.family == "weberror") & (truth.event_date == MAIN_DATE)
+              & (truth.e_subtype == "mpm_global")]
+    got = A.mpm_max_busy(err_df).toPandas().set_index("web_server")
+    exp = t.sort_values(["e_bsy", "e_time_s"]).groupby("source").last()
+    assert got["bsy"].astype(int).sort_index().equals(
+        exp["e_bsy"].astype(int).sort_index().rename_axis("web_server"))
+
+
+def test_gc_daily(gc_df, truth):
+    t = truth[(truth.family == "gc") & (truth.event_date == MAIN_DATE)]
+    got = A.gc_daily_stats(gc_df).toPandas().set_index("jvm")
+    exp_gc = t[t.g_type == "GC"].groupby("source").size()
+    exp_fgc = t[t.g_type == "FULLGC"].groupby("source").size()
+    assert got["gc_cnt"].astype(int).sort_index().equals(
+        exp_gc.sort_index().rename_axis("jvm").astype(int))
+    assert got["fgc_cnt"].astype(int).sort_index().equals(
+        exp_fgc.reindex(got.index).fillna(0).sort_index().astype(int))
+    exp_real = t[t.g_type == "GC"].groupby("source")["g_real"].sum().round(2)
+    assert (got["gc_real_s"].sort_index() - exp_real.sort_index().values).abs().max() < 0.02
+
+
+def test_weberror_counts(err_df, truth):
+    t = truth[(truth.family == "weberror") & (truth.event_date == MAIN_DATE)
+              & (truth.e_subtype == "client_err")]
+    got = A.weberror_counts_by_server(err_df).toPandas().set_index("web_server")["err_cnt"]
+    exp = t.groupby("source").size()
+    assert got.sort_index().equals(exp.sort_index().rename_axis("web_server"))
