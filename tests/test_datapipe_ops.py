@@ -1,0 +1,194 @@
+"""Dedup / similarity / text-stats / multimodal operators vs python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from log_parser_spark.operators import dedup as D
+from log_parser_spark.operators import similarity as S
+from log_parser_spark.operators import textstats as TS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb_pd(emb):
+    return emb.toPandas()
+
+
+def test_exact_dedup(docs, docs_pd):
+    got = D.exact_dedup(docs).toPandas()
+    exp = docs_pd.groupby("text").agg(keeper=("doc_id", "min"), n_dups=("doc_id", "size"))
+    assert len(got) == len(exp)
+    m = got.set_index("keeper")["n_dups"].sort_index()
+    e = exp.set_index("keeper")["n_dups"].sort_index()
+    assert m.equals(e)
+
+
+def _py_word_ngrams(text: str, n: int) -> set[str]:
+    w = text.split()
+    if len(w) <= n:
+        return {" ".join(w[:n])}
+    return {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_ngram_jaccard_pairs(docs, docs_pd):
+    got = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2).toPandas()
+    grams = {r.doc_id: _py_word_ngrams(r.text, 3) for r in docs_pd.itertuples()}
+    exp = []
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            if inter == 0:
+                continue
+            j = inter / len(grams[a] | grams[b])
+            if round(j, 6) >= 0.2:
+                exp.append((a, b, round(j, 6)))
+    exp_df = pd.DataFrame(exp, columns=["id_a", "id_b", "jaccard"])
+    assert len(got) == len(exp_df)
+    if len(got):
+        m = got.merge(exp_df, on=["id_a", "id_b"])
+        assert len(m) == len(got)
+        assert (m["jaccard_x"] - m["jaccard_y"]).abs().max() < 1e-6
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(docs, docs_pd):
+    """LSH at 16 perms / 4 bands must recover near-identical docs; verified
+    pairs must match exact jaccard computation."""
+    got = D.minhash_lsh_pairs(docs, n=3, num_perm=16, bands=4, threshold=0.5).toPandas()
+    grams = {r.doc_id: _py_word_ngrams(r.text, 3) for r in docs_pd.itertuples()}
+    for r in got.itertuples():
+        inter = len(grams[r.id_a] & grams[r.id_b])
+        j = inter / len(grams[r.id_a] | grams[r.id_b])
+        assert abs(j - r.jaccard) < 1e-6
+        assert j >= 0.5
+    # exact duplicates (jaccard 1.0) can never be missed by LSH
+    dups = [
+        (a, b)
+        for i, a in enumerate(sorted(grams))
+        for b in sorted(grams)[i + 1:]
+        if grams[a] == grams[b]
+    ]
+    got_pairs = set(zip(got.id_a, got.id_b))
+    for p in dups:
+        assert p in got_pairs
+
+
+def test_simhash_properties(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # identical
+                "the quick brown fox jumps over the lazy cat",  # 1 word off
+                "completely different content entirely unrelated words here",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sh[1] == sh[2]
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_brute_force_knn(emb, emb_pd):
+    qids = [0, 1, 2]
+    got = S.brute_force_knn(emb, qids, k=5).toPandas()
+    V = np.stack(emb_pd.sort_values("vec_id")["embedding"].map(np.array))
+    ids = emb_pd.sort_values("vec_id")["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for q in qids:
+        qi = np.where(ids == q)[0][0]
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))
+        exp = [int(ids[j]) for j in order[:5]]
+        g = got[got.query_id == q].sort_values("rank")["neighbor_id"].tolist()
+        assert g == exp, (q, g, exp)
+
+
+def test_lsh_knn_recall(emb, emb_pd):
+    qids = emb_pd["vec_id"].head(20).tolist()
+    exact = S.brute_force_knn(emb, qids, k=5).toPandas()
+    approx = S.lsh_knn(emb, qids, k=5, n_planes=4, n_tables=12).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
+    assert np.mean(recalls) > 0.4  # bucketing trades recall for speed
+
+
+def test_token_stats_and_quality(docs, docs_pd):
+    got = TS.token_stats(docs).toPandas().set_index("doc_id").sort_index()
+    exp_words = docs_pd.set_index("doc_id")["text"].str.split().str.len().sort_index()
+    assert (got["n_words"] == exp_words).all()
+    assert (got["n_chars_calc"] == docs_pd.set_index("doc_id")["n_chars"].sort_index()).all()
+
+    q = TS.quality_score(docs).toPandas()
+    assert q["quality"].between(0, 1).all()
+    assert q["stop_ratio"].between(0, 1).all()
+
+
+def test_lang_id(docs, docs_pd):
+    got = TS.lang_id(docs).toPandas().set_index("doc_id").sort_index()
+    exp_ratio = docs_pd.set_index("doc_id")["text"].map(
+        lambda t: sum(w in TS.STOPWORDS for w in t.lower().split()) / len(t.split())
+    ).sort_index()
+    assert (got["stopword_ratio"] - exp_ratio).abs().max() < 1e-6
+
+
+def test_fingerprint(docs, docs_pd):
+    got = TS.fingerprint(docs).toPandas().set_index("doc_id").sort_index()
+
+    def fp(t):
+        h = 0
+        for ch in t:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    exp = docs_pd.set_index("doc_id")["text"].map(fp).sort_index()
+    assert (got["fingerprint"] == exp).all()
+
+
+def test_multimodal_plumbing(spark):
+    from log_parser_spark.operators import multimodal as M
+
+    media = M.synthetic_media(spark, n=60)
+    feats = M.extract_features(media).toPandas()
+    assert len(feats) == 60
+    assert feats["features"].map(len).eq(M.FEATURE_DIM).all()
+    # deterministic: second run identical
+    feats2 = M.extract_features(media).toPandas()
+    f1 = feats.sort_values("media_id")["features"].map(tuple).tolist()
+    f2 = feats2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert f1 == f2
+
+    frames = M.frame_sample(media).toPandas()
+    assert (frames["offset"] == frames["frame_idx"] * 32).all()
+
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.extract_features(media, decoder="real").count()
