@@ -1,38 +1,791 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+over the driver testdata tables; ``oracle_sql()`` gives the DuckDB-
+equivalent ANSI SQL (same aliases, same rounding) for the hash compare.
+Tokenlog-pipeline entries (prefix ``tl_``) run the parse→enrich→route→
+aggregate engine on the deterministic synthetic token table (datagen
+seed=42) and are rows-only checks — their exactness is covered by the
+pytest oracle suite instead (tests/ vs truth.parquet).
+
+Column-name contract: every computed column is aliased identically in
+the Spark code and the SQL so the driver's sorted-column value hash
+lines up.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+KNN_QUERY_IDS = [1, 2, 3, 4, 5]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fmt_ts(c):
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# --------------------------------------------------------------------------
+# oracle-checked queries over the driver testdata tables
+# --------------------------------------------------------------------------
+
+def q_status_counts(spark, sf):
+    """A1 count-by-code + pct-of-total (webAccessLogParser.sh:723,1176-1184)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy()
+    return (
+        ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+        .withColumn("pct", F.round(F.lit(100.0) * F.col("cnt") / F.sum("cnt").over(w), 2))
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """A2/A6 multi-measure hash aggregate (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_distinct_users(spark, sf):
+    """A3/A4 exact distinct per dimension (arrDlyuUid, webAccessLogParser.sh:687-689)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q_hourly_matrix(spark, sf):
+    """A5 hourly perf matrix: counts + conditional counts + avg (sh:744-751)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count(F.when(F.col("value") > 50.0, True)).alias("hi_cnt"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+def q_global_rollup(spark, sf):
+    """A6 daily grand-total rollup (webAccessLogParser.sh:983-999)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count("*").alias("row_cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _fmt_ts(F.min("l_shipdate")).alias("min_ship"),
+        _fmt_ts(F.max("l_shipdate")).alias("max_ship"),
+    )
+
+
+def q_user_stats(spark, sf):
+    """A7 per-UID stats (webAccessLogParser.sh:758-760,972-981)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 2).alias("avg_value"),
+    )
+
+
+def q_pivot_type_by_hour(spark, sf):
+    """A12 fixed-column-list pivot (method × server, sh:794-824)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("int").alias("hr"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def q_pivot_status_by_priority(spark, sf):
+    """A13 wide fixed pivot (response-code × server, sh:826-847)."""
+    od = _t(spark, sf, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        od.groupBy("o_orderpriority").pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, statuses)
+    )
+
+
+def q_filtered_group(spark, sf):
+    """A14 filter→group→count (400+ by URI, sh:669-671,1191-1197)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("value") >= 90.0)
+        .groupBy("event_type").agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_hour_pivot_users(spark, sf):
+    """A15 dimension × 24-hour pivot of distinct users (sh:916-934)."""
+    ev = _t(spark, sf, "events").withColumn("hr24", F.hour("ts").cast("int"))
+    hours = [str(h) for h in range(24)]
+    return (
+        ev.groupBy("event_type")
+        .pivot("hr24", hours)
+        .agg(F.countDistinct("user_id"))
+        .na.fill(0, hours)
+    )
+
+
+def q_argmax_row(spark, sf):
+    """A21 argmax whole-row (mpm max-busy, webErrorLogParser.sh:361-373)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", F.round("value", 2).alias("max_value"))
+    )
+
+
+def q_last_per_key(spark, sf):
+    """A23 last-record-per-key (last GC per JVM, javaGCStatsParser.sh:269-279)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", _fmt_ts("ts").alias("last_ts"))
+    )
+
+
+def q_topk_rows(spark, sf):
+    """T1 sort-then-limit top-K rows (top-10 slowest, sh:1300-1329)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+        .select("event_id", "event_type", F.round("value", 2).alias("value_r"))
+    )
+
+
+def q_topk_groups(spark, sf):
+    """T2 top-K groups by rounded avg (top URIs by ART, sh:1331-1356)."""
+    ev = _t(spark, sf, "events")
+    agg = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    return (
+        agg.orderBy(F.desc("avg_value"), F.asc("user_id")).limit(10)
+        .select("user_id", F.round("avg_value", 2).alias("avg_r"))
+    )
+
+
+def q_broadcast_enrich(spark, sf):
+    """J1 broadcast dimension enrich chain (clone map, sh:196-201,440)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").alias("customers"), F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+    )
+
+
+def q_segment_stats(spark, sf):
+    """J2 fact⋈dim + per-group deviation-ready stats (baseline join, sh:1010-1022)."""
+    od = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        od.join(F.broadcast(c), od["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def q_revenue_join(spark, sf):
+    """Big fact⋈fact shuffle join + agg (the scale-path join)."""
+    li = _t(spark, sf, "lineitem")
+    od = _t(spark, sf, "orders")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_event_pairing(spark, sf):
+    """J4 stateful key pairing (WTRN0006W⋈WTRN0124I, websphereLogParser.sh:236-247)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("signup_ts"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("purchase_ts"),
+        )
+        .select(
+            "user_id",
+            _fmt_ts("signup_ts").alias("signup_s"),
+            _fmt_ts("purchase_ts").alias("purchase_s"),
+            (F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")).alias("gap_s"),
+        )
+    )
+
+
+def q_sessionization(spark, sf):
+    """J5 session start/end pairing → duration (sh:715-720,1273-1295)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id", "n_events",
+            _fmt_ts("first_ts").alias("first_s"),
+            _fmt_ts("last_ts").alias("last_s"),
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")).alias("span_s"),
+        )
+    )
+
+
+def q_anti_join(spark, sf):
+    """F3 discard/unmatched semantics as left_anti (sh:680-683)."""
+    c = _t(spark, sf, "customer")
+    od = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    no_orders = c.join(od, c["c_custkey"] == od["o_custkey"], "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), no_orders["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name").agg(F.count("*").alias("idle_customers"))
+    )
+
+
+def q_rollup_sets(spark, sf):
+    """A6 grouping-sets rollup (daily + per-dim granularities in one pass)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def q_union_all(spark, sf):
+    """S2/§2.7 UNION ALL of per-stream counts."""
+    ev = _t(spark, sf, "events")
+    od = _t(spark, sf, "orders")
+    a = ev.groupBy(F.col("event_type").alias("dim")).agg(F.count("*").alias("cnt")) \
+        .withColumn("src", F.lit("events"))
+    b = od.groupBy(F.col("o_orderstatus").alias("dim")).agg(F.count("*").alias("cnt")) \
+        .withColumn("src", F.lit("orders"))
+    return a.unionByName(b)
+
+
+def q_running_window(spark, sf):
+    """A17 time-ordered running aggregate (running max chtc, wsLP.sh:479-487)."""
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("hr") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return hourly.select(
+        "event_type", "hr", "cnt", F.sum("cnt").over(w).cast("long").alias("running_cnt")
+    )
+
+
+def q_regex_extract(spark, sf):
+    """P1-P6 regex field extraction (JVM-side) over the props payload."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 2).alias("avg_k"), F.max("k").alias("max_k"))
+    )
+
+
+def q_bucketize(spark, sf):
+    """P8 range bucketing via when-chain (response-time buckets, sh:465-481)."""
+    ev = _t(spark, sf, "events")
+    bucket = (
+        F.when(F.col("value") <= 20, "<=20")
+        .when(F.col("value") <= 50, "<=50")
+        .when(F.col("value") <= 80, "<=80")
+        .otherwise(">80")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------- training-data ops
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup groups (operators/dedup.exact_dedup)."""
+    from log_parser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_rate(spark, sf):
+    """Corpus-level duplication stats."""
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("total"),
+        F.countDistinct("text").alias("distinct_texts"),
+        (F.count("*") - F.countDistinct("text")).alias("dup_rows"),
+    )
+
+
+def q_token_stats(spark, sf):
+    """Token counting: whitespace + BPE-ish regex (operators/textstats)."""
+    from log_parser_spark.operators.textstats import token_stats
+
+    return token_stats(_t(spark, sf, "documents"))
+
+
+def q_quality_score(spark, sf):
+    """Quality scoring heuristic (operators/textstats.quality_score)."""
+    from log_parser_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def q_lang_id(spark, sf):
+    """Language-ID heuristic, aggregated (operators/textstats.lang_id)."""
+    from log_parser_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf, "documents")).groupBy("lang_pred").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_lang_breakdown(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("cnt"), F.round(F.avg("n_chars"), 2).alias("avg_chars")
+    )
+
+
+def q_knn_brute(spark, sf):
+    """Brute-force cosine top-k (operators/similarity.brute_force_knn)."""
+    from log_parser_spark.operators.similarity import brute_force_knn
+
+    return brute_force_knn(_t(spark, sf, "embeddings"), KNN_QUERY_IDS, k=5)
+
+
+def q_embedding_label_stats(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg(F.element_at(F.col("embedding").cast("array<double>"), 1)), 6).alias("avg_x0"),
+    )
+
+
+# ------------------------------------------------- rows-only (non-SQL) checks
+
+def _tokenlog(spark):
+    """Deterministic synthetic token table (datagen seed=42, sf=0.001)."""
+    from log_parser_spark import datagen
+    from log_parser_spark.operators.parse import classify, with_line
+    from log_parser_spark.sources.token_table import read_token_sequences
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = datagen.ensure_dataset(0.001)
+    return classify(with_line(read_token_sequences(spark, d))), d
+
+
+def tl_sink_counts(spark, sf):
+    """Route fan-out counts per category sink (S7; north-rule sinks)."""
+    classified, _ = _tokenlog(spark)
+    return classified.groupBy("category").agg(F.count("*").alias("cnt")).orderBy("category")
+
+
+def tl_status_counts(spark, sf):
+    """A1 on detokenized+grokked access family (vectorized Arrow UDF path)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return A.status_counts(access)
+
+
+def tl_hourly_stats(spark, sf):
+    """A5 hourly matrix off the parsed access frame."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return A.hourly_stats(access)
+
+
+def tl_gc_daily(spark, sf):
+    """A22 GC per-JVM-per-date stats off the parsed gc frame."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    return A.gc_daily_stats(parsed_family(classified, "gc"))
+
+
+def tl_was_events(spark, sf):
+    """A16 WAS event counts by server off the parsed was frame."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    return A.was_event_counts(parsed_family(classified, "was"), "source")
+
+
+def q_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup pairs (xxhash64-based; verified vs py oracle in tests)."""
+    from log_parser_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs (bit-vote; property-tested)."""
+    from log_parser_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def q_ngram_jaccard(spark, sf):
+    """Word-n-gram Jaccard near-dup pairs via inverted-index candidates."""
+    from log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
+
+
+def q_lsh_knn(spark, sf):
+    """ANN via multi-table hyperplane LSH (recall-tested vs brute force)."""
+    from log_parser_spark.operators.similarity import lsh_knn
+
+    return lsh_knn(_t(spark, sf, "embeddings"), KNN_QUERY_IDS, k=5, dim=64)
+
+
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: detokenize → grok parse → route → status aggregate at sf0.001."""
+    return tl_status_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "status_counts": q_status_counts,
+        "pricing_summary": q_pricing_summary,
+        "distinct_users": q_distinct_users,
+        "hourly_matrix": q_hourly_matrix,
+        "global_rollup": q_global_rollup,
+        "user_stats": q_user_stats,
+        "pivot_type_by_hour": q_pivot_type_by_hour,
+        "pivot_status_by_priority": q_pivot_status_by_priority,
+        "filtered_group": q_filtered_group,
+        "hour_pivot_users": q_hour_pivot_users,
+        "argmax_row": q_argmax_row,
+        "last_per_key": q_last_per_key,
+        "topk_rows": q_topk_rows,
+        "topk_groups": q_topk_groups,
+        "broadcast_enrich": q_broadcast_enrich,
+        "segment_stats": q_segment_stats,
+        "revenue_join": q_revenue_join,
+        "event_pairing": q_event_pairing,
+        "sessionization": q_sessionization,
+        "anti_join": q_anti_join,
+        "rollup_sets": q_rollup_sets,
+        "union_all": q_union_all,
+        "running_window": q_running_window,
+        "regex_extract": q_regex_extract,
+        "bucketize": q_bucketize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_rate": q_dedup_rate,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "lang_breakdown": q_lang_breakdown,
+        "knn_brute": q_knn_brute,
+        "embedding_label_stats": q_embedding_label_stats,
+        # rows-only (non-SQL-expressible: xxhash64 / LSH / tokenized pipeline)
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_knn": q_lsh_knn,
+        "tl_sink_counts": tl_sink_counts,
+        "tl_status_counts": tl_status_counts,
+        "tl_hourly_stats": tl_hourly_stats,
+        "tl_gc_daily": tl_gc_daily,
+        "tl_was_events": tl_was_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ev_hr = "CAST(hour(ts) AS INTEGER)"
+    return {
+        "status_counts": """
+            SELECT event_type, COUNT(*) AS cnt,
+                   ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct
+            FROM events GROUP BY event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   ROUND(MIN(l_extendedprice), 2) AS min_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "hourly_matrix": f"""
+            SELECT {ev_hr} AS hr, COUNT(*) AS cnt,
+                   COUNT(*) FILTER (WHERE value > 50.0) AS hi_cnt,
+                   ROUND(AVG(value), 2) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "global_rollup": """
+            SELECT COUNT(*) AS row_cnt, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+                   strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+            FROM lineitem
+        """,
+        "user_stats": """
+            SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(AVG(value), 2) AS avg_value
+            FROM events GROUP BY user_id
+        """,
+        "pivot_type_by_hour": f"""
+            SELECT {ev_hr} AS hr,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY 1
+        """,
+        "pivot_status_by_priority": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "filtered_group": """
+            SELECT event_type, COUNT(*) AS cnt FROM events
+            WHERE value >= 90.0 GROUP BY event_type
+        """,
+        "hour_pivot_users": (
+            "SELECT event_type, "
+            + ", ".join(
+                f"COUNT(DISTINCT user_id) FILTER (WHERE CAST(hour(ts) AS INTEGER) = {h}) AS \"{h}\""
+                for h in range(24)
+            )
+            + " FROM events GROUP BY event_type"
+        ),
+        "argmax_row": """
+            SELECT event_type, event_id, ROUND(value, 2) AS max_value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id ASC) = 1
+        """,
+        "last_per_key": """
+            SELECT user_id, event_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "topk_rows": """
+            SELECT event_id, event_type, ROUND(value, 2) AS value_r
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+        """,
+        "topk_groups": """
+            SELECT user_id, ROUND(avg_value, 2) AS avg_r FROM (
+                SELECT user_id, ROUND(AVG(value), 6) AS avg_value
+                FROM events GROUP BY user_id
+            ) ORDER BY avg_value DESC, user_id ASC LIMIT 10
+        """,
+        "broadcast_enrich": """
+            SELECT r_name, COUNT(*) AS customers, ROUND(SUM(c_acctbal), 2) AS acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "segment_stats": """
+            SELECT c_mktsegment, COUNT(*) AS orders,
+                   ROUND(AVG(o_totalprice), 2) AS avg_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "revenue_join": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS cnt
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "event_pairing": """
+            SELECT user_id,
+                   strftime(signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_s,
+                   strftime(purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+                   CAST(floor(epoch(purchase_ts)) - floor(epoch(signup_ts)) AS BIGINT) AS gap_s
+            FROM (
+                SELECT user_id,
+                       MIN(ts) FILTER (WHERE event_type = 'signup') AS signup_ts,
+                       MIN(ts) FILTER (WHERE event_type = 'purchase') AS purchase_ts
+                FROM events GROUP BY user_id
+            )
+        """,
+        "sessionization": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_s,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_s,
+                   CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS span_s
+            FROM events GROUP BY user_id
+        """,
+        "anti_join": """
+            SELECT n_name, COUNT(*) AS idle_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n_name
+        """,
+        "rollup_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "union_all": """
+            SELECT event_type AS dim, COUNT(*) AS cnt, 'events' AS src
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT o_orderstatus AS dim, COUNT(*) AS cnt, 'orders' AS src
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "running_window": f"""
+            SELECT event_type, hr, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS running_cnt
+            FROM (
+                SELECT event_type, {ev_hr} AS hr, COUNT(*) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+        """,
+        "regex_extract": r"""
+            SELECT event_type, ROUND(AVG(k), 2) AS avg_k, MAX(k) AS max_k
+            FROM (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) AS k
+                FROM events
+            ) GROUP BY event_type
+        """,
+        "bucketize": """
+            SELECT CASE WHEN value <= 20 THEN '<=20'
+                        WHEN value <= 50 THEN '<=50'
+                        WHEN value <= 80 THEN '<=80'
+                        ELSE '>80' END AS bucket,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "dedup_rate": """
+            SELECT COUNT(*) AS total, COUNT(DISTINCT text) AS distinct_texts,
+                   COUNT(*) - COUNT(DISTINCT text) AS dup_rows
+            FROM documents
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_words,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+                   CAST(length(text) AS INTEGER) AS n_chars_calc
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+                   ROUND(stop_hits * 1.0 / n_words, 6) AS stop_ratio,
+                   ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+                   ROUND(
+                       LEAST(n_words / 100.0, 1.0) * 0.4
+                       + LEAST(stop_hits * 1.0 / n_words * 5.0, 1.0) * 0.3
+                       + (1.0 - LEAST(n_punct * 1.0 / n_chars * 10.0, 1.0)) * 0.2
+                       + CASE WHEN n_nospace * 1.0 / n_words >= 3
+                                   AND n_nospace * 1.0 / n_words <= 10
+                              THEN 0.1 ELSE 0.0 END,
+                   6) AS quality
+            FROM (
+                SELECT doc_id,
+                       len(string_split_regex(text, '\s+')) AS n_words,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                           w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                           AS stop_hits,
+                       length(regexp_replace(text, '[^\.,;:!?]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+                       length(text) AS n_chars
+                FROM documents
+            )
+        """,
+        "lang_id": r"""
+            SELECT lang_pred, COUNT(*) AS cnt FROM (
+                SELECT CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w IN ('the','a','of','and','to','in','is','it','for','on')))
+                            * 1.0 / len(string_split_regex(lower(text), '\s+')) >= 0.05
+                       THEN 'en' ELSE 'unknown' END AS lang_pred
+                FROM documents
+            ) GROUP BY lang_pred
+        """,
+        "lang_breakdown": """
+            SELECT lang, COUNT(*) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "knn_brute": f"""
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   CAST(row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(
+                            CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS INTEGER) AS rank
+            FROM embeddings e, embeddings q
+            WHERE q.vec_id IN ({", ".join(str(i) for i in KNN_QUERY_IDS)})
+              AND e.vec_id <> q.vec_id
+            QUALIFY rank <= 5
+        """,
+        "embedding_label_stats": """
+            SELECT label, COUNT(*) AS cnt,
+                   ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_x0
+            FROM embeddings GROUP BY label
+        """,
+    }
