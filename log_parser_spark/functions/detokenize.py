@@ -70,3 +70,34 @@ def detokenize_col(tokens: Column | str) -> Column:
 def tokenize_strings(lines: pd.Series) -> pd.Series:
     """Inverse kernel for the generator/tests: string -> list of byte values."""
     return lines.map(lambda s: None if s is None else list(s.encode("utf-8")))
+
+
+def _retokenize_batch(lines: pd.Series) -> pd.Series:
+    """string -> array<int32> of UTF-8 bytes, O(batch) (numpy split, no
+    per-row Python): exact inverse of ``series_of_token_lists_to_strings``."""
+    notna = lines.notna()
+    vals = lines[notna]
+    joined = "".join(vals.tolist()).encode("utf-8")
+    flat = np.frombuffer(joined, dtype=np.uint8).astype(np.int32)
+    lens = vals.map(lambda s: len(s.encode("utf-8"))).to_numpy(dtype=np.int64)
+    parts = np.split(flat, np.cumsum(lens)[:-1]) if len(vals) else []
+    dense = pd.Series(parts, index=vals.index, dtype=object)
+    return dense.reindex(lines.index)
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def retokenize_udf(lines: pd.Series) -> pd.Series:
+    """Reconstruct the token array from a sink's line column.
+
+    Byte-level tokenization (FIXTURES.md §1) makes line <-> tokens a exact
+    bijection; sinks store the 1-byte/char string view instead of the
+    4-byte/int array view (4x less shuffle+storage at 100 TB), and this view
+    restores the arrays bit-exactly — the token-array-equality invariant is
+    asserted against it in tests/test_pipeline_resume.py.
+    """
+    return _retokenize_batch(lines)
+
+
+def with_tokens_view(df, line_col: str = "line"):
+    """Attach the reconstructed ``tokens`` column to a sink frame."""
+    return df.withColumn("tokens", retokenize_udf(F.col(line_col)))

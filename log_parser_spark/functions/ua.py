@@ -52,8 +52,32 @@ def classify_ua(ua: pd.Series) -> pd.DataFrame:
     """Vectorized UA classification.
 
     Returns DataFrame(browser, browser_ver, os_name, os_ver, ua_known).
+
+    UA cardinality is tiny relative to row count (thousands of distinct
+    strings vs billions of requests), so classify distinct values once and
+    map back — turns 17 regex passes over N rows into 17 passes over
+    uniques. Same trick the reference can't do in a streaming awk pass.
     """
     ua = ua.fillna("")
+    uniq = pd.Series(ua.unique())
+    if len(uniq) < max(64, len(ua) // 4):
+        res = _classify_ua_dense(uniq)
+        res.index = uniq
+        out = res.reindex(ua.values)
+        out.index = ua.index
+        return out
+    return _classify_ua_dense(ua)
+
+
+def _classify_ua_dense(ua: pd.Series) -> pd.DataFrame:
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # contains() w/ groups
+        return _classify_ua_impl(ua)
+
+
+def _classify_ua_impl(ua: pd.Series) -> pd.DataFrame:
     masks = [ua.str.contains(rx, regex=True) for _, rx, _, _ in UA_CASES]
     families = [fam for _, _, fam, _ in UA_CASES]
     browser = pd.Series(

@@ -479,12 +479,147 @@ def parsed_family(df: DataFrame, family: str, line_col: str = "line") -> DataFra
 
     Adds a ``range`` bucket for access rows (P8) and keeps the carrier
     columns (doc_id, tokens, n_tok, source) for token-equality invariants.
+    If ``df`` came from :func:`fused_parse` the per-family columns already
+    exist (prefixed) — just select/rename, no second Python pass.
     """
-    out = (
-        df.filter(F.col("family") == family)
-        .withColumn("p", PARSERS[family](F.col(line_col)))
-        .select("doc_id", "source", "category", "p.*")
-    )
+    if _FAMILY_PREFIX[family] + STRUCTS[family].fields[0].name in df.columns:
+        pfx = _FAMILY_PREFIX[family]
+        out = df.filter(F.col("family") == family).select(
+            "doc_id", "source", "category",
+            *[F.col(pfx + f.name).alias(f.name) for f in STRUCTS[family].fields],
+        )
+    else:
+        out = (
+            df.filter(F.col("family") == family)
+            .withColumn("p", PARSERS[family](F.col(line_col)))
+            .select("doc_id", "source", "category", "p.*")
+        )
     if family == "access":
         out = out.withColumn("range", resp_range(F.col("rt")))
     return out
+
+
+# --------------------------------------------------------------------------
+# fused single-pass kernel: detokenize + classify + ALL family groks in one
+# Arrow hop (the per-round hot path — each line crosses to Python exactly
+# once, each grok regex runs exactly once per row)
+# --------------------------------------------------------------------------
+
+STRUCTS = {
+    "access": ACCESS_STRUCT,
+    "was": WAS_STRUCT,
+    "weberror": ERR_STRUCT,
+    "gc": GC_STRUCT,
+}
+_FAMILY_PREFIX = {"access": "a_", "was": "w_", "weberror": "e_", "gc": "g_"}
+_FAMILY_PARSERS_PDF = {
+    "access": _parse_access_pdf,
+    "was": _parse_was_pdf,
+    "weberror": _parse_weberror_pdf,
+    "gc": _parse_gc_pdf,
+}
+
+import re as _re
+
+_FD_COMPILED = {k: _re.compile(v) for k, v in P.FAMILY_DETECT.items()}
+
+
+def _classify_fused_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One-pass pandas kernel: line, family, category, and a_/w_/e_/g_ fields."""
+    line = pdf["__line"] if "__line" in pdf else None
+    if line is None:
+        from ..functions.detokenize import series_of_token_lists_to_strings
+
+        line = series_of_token_lists_to_strings(pdf["tokens"])
+    idx = line.index
+    n = len(line)
+
+    family = pd.Series("garbage", index=idx, dtype=object)
+    rem = line.notna()
+    for name in ("gc", "was", "weberror", "access"):
+        m = rem & line.str.match(_FD_COMPILED[name], na=False)
+        family[m] = name
+        rem &= ~m
+
+    out: dict[str, pd.Series] = {}
+    parsed: dict[str, tuple[pd.Series, pd.DataFrame]] = {}
+    for fam, pfx in _FAMILY_PREFIX.items():
+        mask = family == fam
+        fields = [f.name for f in STRUCTS[fam].fields]
+        if mask.any():
+            sub = _FAMILY_PARSERS_PDF[fam](line[mask])
+            parsed[fam] = (mask, sub)
+            for f in fields:
+                out[pfx + f] = sub[f].reindex(idx)
+        else:
+            parsed[fam] = (mask, None)
+            for f in fields:
+                out[pfx + f] = pd.Series([None] * n, index=idx, dtype=object)
+
+    # category (router): same semantics as expression classify()
+    category = pd.Series("audit", index=idx, dtype=object)
+    category[family == "garbage"] = "unmatched"
+    amask, asub = parsed["access"]
+    if asub is not None:
+        hit = asub["host"].notna()
+        uid = asub["uid"].fillna("")
+        ua = asub["ua"].fillna("")
+        disc = ua.str.startswith("curl/") | (uid == "-") | (uid == "")
+        cat_a = pd.Series("access", index=asub.index, dtype=object)
+        cat_a[~hit | disc] = "unmatched"
+        category[amask] = cat_a
+    wmask, wsub = parsed["was"]
+    if wsub is not None:
+        category[wmask] = np.where(wsub["evt"].isin(["E", "W", "F"]), "error", "audit")
+    emask, esub = parsed["weberror"]
+    if esub is not None:
+        category[emask] = np.where(
+            esub["level"].isin(["error", "crit", "alert"]), "error", "audit"
+        )
+
+    res = pd.DataFrame({"line": line, "family": family, "category": category})
+    for k, v in out.items():
+        res[k] = v
+    return res
+
+
+def fused_schema(input_schema: T.StructType, keep_tokens: bool) -> T.StructType:
+    fields = [
+        f for f in input_schema.fields
+        if keep_tokens or f.name != "tokens"
+    ]
+    fields += [
+        T.StructField("line", T.StringType()),
+        T.StructField("family", T.StringType()),
+        T.StructField("category", T.StringType()),
+    ]
+    for fam, pfx in _FAMILY_PREFIX.items():
+        fields += [
+            T.StructField(pfx + f.name, f.dataType) for f in STRUCTS[fam].fields
+        ]
+    return T.StructType(fields)
+
+
+def fused_parse(df: DataFrame, keep_tokens: bool = False) -> DataFrame:
+    """detokenize → classify → grok all families, one mapInPandas pass.
+
+    The scale-path parse stage: a single Arrow round trip per batch; every
+    downstream operator (router, sinks, all A1-A25 aggregates) is pure JVM.
+    ``keep_tokens=False`` (the default sink path) drops the int32 arrays and
+    keeps the byte-string ``line`` view instead — an exact bijection under
+    byte-level tokenization (see functions/detokenize.retokenize_udf), at
+    1/4 the bytes moved and stored.
+    """
+    passthrough = [f.name for f in df.schema.fields if f.name != "tokens"]
+    schema = fused_schema(df.schema, keep_tokens)
+
+    def gen(batches):
+        for pdf in batches:
+            res = _classify_fused_pdf(pdf)
+            for c in reversed(passthrough):
+                res.insert(0, c, pdf[c])
+            if keep_tokens:
+                res["tokens"] = pdf["tokens"]
+            yield res[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(gen, schema)

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SINKS = ["access", "error", "audit", "unmatched"]
-SINK_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "family", "category"]
+# line is the 1-byte/char view of the token array (exact bijection — see
+# functions/detokenize.retokenize_udf); n_tok preserved for accounting.
+SINK_COLUMNS = ["doc_id", "line", "n_tok", "source", "family", "category"]
 
 
 def salted(df: DataFrame, num_partitions: int, *keys: str, salt_buckets: int = 64) -> DataFrame:

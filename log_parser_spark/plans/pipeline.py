@@ -31,7 +31,7 @@ from ..operators import alerts as AL
 from ..operators import topn as TN
 from ..operators.enrich import enrich_route_meta
 from ..operators.parse import classify, parsed_family, with_line
-from ..operators.route import lineage_frame, routed_for_write
+from ..operators.route import lineage_frame
 from ..sources.atomic import AtomicTable
 from ..sources.token_table import read_all_lookups, read_token_sequences
 
@@ -128,48 +128,72 @@ def run_pipeline(
     out = Path(out_dir)
     res = PipelineResult(out_dir=out)
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = 0  # direct write (no pre-write shuffle) by default
 
     tokens = read_token_sequences(spark, dataset_dir, sources)
     lookups = read_all_lookups(spark, dataset_dir)
     th = AL.thresholds_dict(lookups["thresholds"])
 
+    from ..operators.parse import fused_parse
     from ..operators.route import with_scan_provenance
 
-    classified = enrich_route_meta(
-        classify(with_line(with_scan_provenance(tokens))), lookups["route_meta"]
-    ).persist()
-
     commits = 0
+    import threading
+
+    _lock = threading.Lock()
 
     def commit(table: str, df: DataFrame, txid: str, partition_by=None, meta=None) -> bool:
         nonlocal commits
         at = AtomicTable(out / table)
-        if at.is_committed(txid):
-            res.skipped.append(f"{table}:{txid}")
-            return False
-        if stop_after is not None and commits >= stop_after:
-            raise RuntimeError(f"injected crash before commit {table}:{txid}")
+        with _lock:
+            if at.is_committed(txid):
+                res.skipped.append(f"{table}:{txid}")
+                return False
+            if stop_after is not None and commits >= stop_after:
+                raise RuntimeError(f"injected crash before commit {table}:{txid}")
         at.commit(df, txid, partition_by=partition_by, meta=meta)
-        res.committed.append(f"{table}:{txid}")
-        commits += 1
+        with _lock:
+            res.committed.append(f"{table}:{txid}")
+            commits += 1
         return True
 
-    # ---- route: one salted fan-out write to the 4 category sinks (S7)
-    commit("sinks", routed_for_write(classified, num_partitions), f"{recorddate}-routed",
-           partition_by=["category"])
+    # ---- parse + route in ONE scan / ONE Arrow pass (S7): detokenize +
+    # classify + every family grok, then fan out to the 4 category sinks.
+    # Sinks store the byte-string `line` view of the tokens (exact bijection
+    # — see retokenize_udf; 1/4 the bytes of the int32 arrays) plus every
+    # parsed column, so each report below is a column-pruned, family-pushdown
+    # parquet read — the "silver table" discipline: parse once, aggregate
+    # many times, never re-cross into Python.
+    parsed_full = enrich_route_meta(
+        fused_parse(with_scan_provenance(tokens), keep_tokens=False),
+        lookups["route_meta"],
+    )
+    if num_partitions:
+        # salted repartition (hot-source skew defusal + file-size control):
+        # shuffle on (category, salt) so no writer task owns a hot sink.
+        # Off by default locally — scan tasks are size-bounded and already
+        # balanced; turn on to control files-per-sink on a real cluster.
+        from ..operators.route import salted
+
+        parsed_full = salted(parsed_full, num_partitions, "category")
+    commit("sinks", parsed_full, f"{recorddate}-routed", partition_by=["category"])
+
+    sinks_table = AtomicTable(out / "sinks")
+    classified = sinks_table.read(spark)
 
     # ---- lineage (S10 / north rule)
     commit("lineage", lineage_frame(classified).withColumn("snapshot_id", F.lit(f"{recorddate}-routed")),
            f"{recorddate}-lineage")
 
-    # ---- per-family parsed frames (shared-scan discipline: persist once)
+    # ---- per-family parsed frames off the written sinks: every report is a
+    # column-pruned parquet read with a family/date predicate pushed to the
+    # scan — no persist needed (the sink files ARE the shared materialization)
     date_gate = F.col("event_date") == recorddate  # F8 summarize-date gate
     access = parsed_family(classified, "access").filter(
-        (F.col("category") == "access") & date_gate).persist()
-    was = parsed_family(classified, "was").filter(date_gate).persist()
-    err = parsed_family(classified, "weberror").filter(date_gate).persist()
-    gc = parsed_family(classified, "gc").filter(date_gate).persist()
+        (F.col("category") == "access") & date_gate)
+    was = parsed_family(classified, "was").filter(date_gate)
+    err = parsed_family(classified, "weberror").filter(date_gate)
+    gc = parsed_family(classified, "gc").filter(date_gate)
 
     reports: dict[str, DataFrame] = {}
     reports.update(_access_reports(access, lookups))
@@ -177,28 +201,45 @@ def run_pipeline(
     reports.update(_err_reports(err))
     reports.update(_gc_reports(gc, th))
 
-    for name, df in reports.items():
-        commit(f"reports/{name}", df, recorddate)
+    # Commit reports concurrently: each is a small independent job off the
+    # persisted parsed frames; Spark's scheduler interleaves them across the
+    # local cores (fair at cluster scale too — separate jobs, shared cache).
+    # Sequential when crash-injection needs deterministic commit order.
+    if stop_after is not None:
+        for name, df in reports.items():
+            commit(f"reports/{name}", df, recorddate)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = {
+                pool.submit(commit, f"reports/{name}", df, recorddate): name
+                for name, df in reports.items()
+            }
+            for f in futs:
+                f.result()
     res.reports = reports
 
     # ---- history append (S8): one daily row per history table
-    commit("history/http_perf", A.daily_rollup(access).withColumn("record_date", F.lit(recorddate)),
+    commit("history/http_perf",
+           reports["daily_rollup"].withColumn("record_date", F.lit(recorddate)),
            recorddate)
-    commit("history/gc", A.gc_daily_stats(gc), recorddate)
-    commit("history/recycles", A.http_recycles(err).withColumn("record_date", F.lit(recorddate)),
+    commit("history/gc", reports["gc_daily"], recorddate)
+    commit("history/recycles",
+           reports["http_recycles"].withColumn("record_date", F.lit(recorddate)),
            recorddate)
 
-    # ---- alerts (F9 -> S9)
+    # ---- alerts (F9 -> S9): reuse the already-built report frames
     alerts = AL.build_alerts(
         th,
-        daily=A.daily_rollup(access),
-        uri_agg=A.uri_stats(access).withColumnRenamed("uri", "uri"),
-        server_err=A.weberror_counts_by_server(err),
-        mpm_peak=A.mpm_max_busy(err),
-        tto=A.tto_summary(was),
-        starv=A.starvation_summary(was),
-        hung=A.hung_thread_summary(was),
-        gc_daily=A.gc_daily_stats(gc),
+        daily=reports["daily_rollup"],
+        uri_agg=A.uri_stats(access),
+        server_err=reports["weberror_by_server"],
+        mpm_peak=reports["mpm_peak"],
+        tto=reports["tto"],
+        starv=reports["starvation"],
+        hung=reports["hung_threads"],
+        gc_daily=reports["gc_daily"],
     )
     if alerts is not None:
         commit("alerts", alerts, recorddate)
@@ -209,7 +250,4 @@ def run_pipeline(
     res.sink_counts = cat_counts
     res.rows_in = sum(cat_counts.values())
     res.elapsed_s = time.time() - t0
-
-    for df in (access, was, err, gc, classified):
-        df.unpersist()
     return res

@@ -92,6 +92,7 @@ class AtomicTable:
             "txid": txid,
             "path": str(final),
             "committed_at": time.time(),
+            "schema": df.schema.json(),  # read() survives empty snapshots
             **(meta or {}),
         }
         with open(self.manifest, "a") as f:
@@ -104,7 +105,19 @@ class AtomicTable:
         return [rec["path"] for rec in self.committed().values()]
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        paths = self.snapshot_paths()
-        if not paths:
+        recs = list(self.committed().values())
+        if not recs:
             return None
-        return spark.read.option("basePath", str(self.root)).parquet(*paths)
+        try:
+            return spark.read.option("basePath", str(self.root)).parquet(
+                *[r["path"] for r in recs]
+            )
+        except Exception:
+            # all snapshots empty (no part files): rebuild from stored schema
+            from pyspark.sql import types as T
+
+            schemas = [r.get("schema") for r in recs if r.get("schema")]
+            if not schemas:
+                raise
+            schema = T.StructType.fromJson(json.loads(schemas[-1]))
+            return spark.createDataFrame([], schema)

@@ -35,6 +35,17 @@ def test_pipeline_runs_and_routes(spark, dataset_dir, truth, tmp_path):
     sc = AtomicTable(tmp_path / "out" / "reports/status_counts").read(spark)
     assert sc.count() > 0
 
+    # north-rule invariant: token-array equality per routed row, via the
+    # line<->tokens bijection view over the sink's byte-string column
+    from log_parser_spark.functions.detokenize import with_tokens_view
+    from log_parser_spark.sources.token_table import read_token_sequences
+
+    original = read_token_sequences(spark, dataset_dir).select(
+        "doc_id", F.col("tokens").alias("tokens_in"))
+    joined = with_tokens_view(sinks).select("doc_id", "tokens").join(original, "doc_id")
+    assert joined.filter(F.col("tokens") != F.col("tokens_in")).count() == 0
+    assert joined.count() == len(truth)
+
 
 def test_pipeline_resume_no_duplicates(spark, dataset_dir, truth, tmp_path):
     out = tmp_path / "resume_out"
