@@ -1,0 +1,135 @@
+"""Per-round benchmark harness (driver contract).
+
+Measures
+  1. the headline tokenlog parse→enrich→route→aggregate pipeline
+     (sequences/sec + tokens/sec) at the tokenlog SF matching the testdata
+     SF dir, on local[$SPARK_GRAFT_CPUS];
+  2. the scaling-efficiency evidence required by BASELINE.md: the SAME
+     pipeline at local[N/4] vs local[N] on identical input
+     (sandbox proxy for N vs 4N executors) — efficiency =
+     (thr@4N / thr@N) / 4, target >= 0.8;
+  3. per-query wall times for a representative slice of __spark_entry__
+     queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total_sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "throughput": {...}, "scaling": {...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_SKIP_SCALING=1 to skip the two-parallelism rerun.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _tokenlog_sf(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. "sf0.1"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:
+    """One cold SparkSession -> full pipeline -> wall + throughput."""
+    from log_parser_spark.plans.pipeline import run_pipeline
+    from log_parser_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name=f"bench-local{cores}",
+                      shuffle_partitions=shuffle)
+    spark.sparkContext.setLogLevel("ERROR")
+    # tiny warmup: JVM/Arrow paths (not the measured dataset)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    out = tempfile.mkdtemp(prefix=f"bench{cores}_")
+    t0 = time.time()
+    res = run_pipeline(spark, dataset_dir, out)
+    wall = time.time() - t0
+    spark.stop()
+    return {"cores": cores, "wall_s": round(wall, 2), "rows": res.rows_in,
+            "seq_per_s": round(res.rows_in / wall, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _tokenlog_sf(sf_dir)
+
+    from log_parser_spark import datagen
+
+    tl_dir = str(datagen.ensure_dataset(sf))
+    import duckdb
+
+    n_tokens = duckdb.sql(
+        f"select sum(n_tok) from read_parquet('{tl_dir}/token_sequences/*/*.parquet')"
+    ).fetchone()[0]
+
+    scaling: dict = {}
+    lo_cores = max(1, cpus // 4)
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        lo = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
+        hi = run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
+        eff = (hi["seq_per_s"] / lo["seq_per_s"]) / (cpus / lo_cores)
+        scaling = {
+            f"local{lo_cores}": lo, f"local{cpus}": hi,
+            "efficiency_Nx4": round(eff, 3),
+        }
+    else:
+        hi = run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
+        scaling = {f"local{cpus}": hi}
+
+    throughput = {
+        "sequences_per_s": hi["seq_per_s"],
+        "tokens_per_s": round(hi["seq_per_s"] * n_tokens / hi["rows"], 1),
+        "tokenlog_sf": sf,
+        "rows": hi["rows"],
+    }
+
+    # ---- per-query timings on the driver testdata (fresh session at N cores)
+    import __spark_entry__ as entrymod
+    from log_parser_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="bench-queries",
+                      shuffle_partitions=max(8, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    headline = [
+        "pricing_summary", "revenue_join", "distinct_users", "hourly_matrix",
+        "hour_pivot_users", "argmax_row", "topk_rows", "broadcast_enrich",
+        "sessionization", "anti_join", "rollup_sets", "running_window",
+        "dedup_exact", "token_stats", "quality_score", "knn_brute",
+        "minhash_lsh", "simhash_pairs",
+    ]
+    qfns = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    total = 0.0
+    for name in headline:
+        t0 = time.time()
+        n = qfns[name](spark, sf_dir).count()
+        el = time.time() - t0
+        qtimes[name] = round(el, 2)
+        total += el
+        print(f"# {name}: {el:.2f}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+
+    result = {
+        "metric": "tokenlog parse→enrich→route→aggregate + headline query suite",
+        "value": round(hi["wall_s"] + total, 2),
+        "unit": "sec",
+        "queries": {**qtimes, "tokenlog_pipeline": hi["wall_s"]},
+        "sf": sf_dir,
+        "throughput": throughput,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

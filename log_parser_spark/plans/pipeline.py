@@ -123,6 +123,8 @@ def run_pipeline(
     sources: list[str] | None = None,
     num_partitions: int | None = None,
     stop_after: int | None = None,  # crash-injection hook for resume tests
+    rpttype: str = "all",           # usage.sh -t: all|web|was|err|gc
+    procoption: str = "daily",      # usage.sh -p: daily|ondemand (history gate)
 ) -> PipelineResult:
     t0 = time.time()
     out = Path(out_dir)
@@ -196,10 +198,14 @@ def run_pipeline(
     gc = parsed_family(classified, "gc").filter(date_gate)
 
     reports: dict[str, DataFrame] = {}
-    reports.update(_access_reports(access, lookups))
-    reports.update(_was_reports(was, lookups))
-    reports.update(_err_reports(err))
-    reports.update(_gc_reports(gc, th))
+    if rpttype in ("all", "web"):
+        reports.update(_access_reports(access, lookups))
+    if rpttype in ("all", "was"):
+        reports.update(_was_reports(was, lookups))
+    if rpttype in ("all", "err"):
+        reports.update(_err_reports(err))
+    if rpttype in ("all", "gc"):
+        reports.update(_gc_reports(gc, th))
 
     # Commit reports concurrently: each is a small independent job off the
     # persisted parsed frames; Spark's scheduler interleaves them across the
@@ -220,29 +226,32 @@ def run_pipeline(
                 f.result()
     res.reports = reports
 
-    # ---- history append (S8): one daily row per history table
-    commit("history/http_perf",
-           reports["daily_rollup"].withColumn("record_date", F.lit(recorddate)),
-           recorddate)
-    commit("history/gc", reports["gc_daily"], recorddate)
-    commit("history/recycles",
-           reports["http_recycles"].withColumn("record_date", F.lit(recorddate)),
-           recorddate)
+    # ---- history append (S8): one daily row per history table; gated on
+    # daily mode like the reference (usage.sh:111-119, e.g. sh:984-986)
+    if procoption == "daily" and rpttype == "all":
+        commit("history/http_perf",
+               reports["daily_rollup"].withColumn("record_date", F.lit(recorddate)),
+               recorddate)
+        commit("history/gc", reports["gc_daily"], recorddate)
+        commit("history/recycles",
+               reports["http_recycles"].withColumn("record_date", F.lit(recorddate)),
+               recorddate)
 
     # ---- alerts (F9 -> S9): reuse the already-built report frames
-    alerts = AL.build_alerts(
-        th,
-        daily=reports["daily_rollup"],
-        uri_agg=A.uri_stats(access),
-        server_err=reports["weberror_by_server"],
-        mpm_peak=reports["mpm_peak"],
-        tto=reports["tto"],
-        starv=reports["starvation"],
-        hung=reports["hung_threads"],
-        gc_daily=reports["gc_daily"],
-    )
-    if alerts is not None:
-        commit("alerts", alerts, recorddate)
+    if rpttype == "all":
+        alerts = AL.build_alerts(
+            th,
+            daily=reports["daily_rollup"],
+            uri_agg=A.uri_stats(access),
+            server_err=reports["weberror_by_server"],
+            mpm_peak=reports["mpm_peak"],
+            tto=reports["tto"],
+            starv=reports["starvation"],
+            hung=reports["hung_threads"],
+            gc_daily=reports["gc_daily"],
+        )
+        if alerts is not None:
+            commit("alerts", alerts, recorddate)
 
     # ---- metrics
     cat_counts = {r["category"]: r["cnt"] for r in

@@ -1,0 +1,7 @@
+from .stream_pipeline import (  # noqa: F401
+    alert_stream,
+    hourly_windowed_counts,
+    parse_stream,
+    read_token_stream,
+    start_sink_stream,
+)
