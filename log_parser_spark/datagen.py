@@ -740,7 +740,7 @@ def _gen_garbage(n: int, rng: np.random.Generator) -> pd.DataFrame:
 
 # ---------------------------------------------------------------- assembly
 
-def generate(sf: float, seed: int = SEED) -> pd.DataFrame:
+def generate(sf: float, seed: int = SEED, start_index: int = 0) -> pd.DataFrame:
     """Build the full truth DataFrame (one row per sequence) for a scale factor."""
     n = int(round(sf * N_PER_SF))
     rng = np.random.default_rng(seed)
@@ -755,7 +755,9 @@ def generate(sf: float, seed: int = SEED) -> pd.DataFrame:
     df = pd.concat(parts, ignore_index=True)
     perm = rng.permutation(len(df))
     df = df.iloc[perm].reset_index(drop=True)
-    df["doc_id"] = [f"{s}-{i:012d}" for i, s in enumerate(df["source"])]
+    df["doc_id"] = [
+        f"{s}-{start_index + i:012d}" for i, s in enumerate(df["source"])
+    ]
     return df
 
 
@@ -768,55 +770,94 @@ def _tokens_list_array(lines: pd.Series) -> pa.ListArray:
     return pa.ListArray.from_arrays(offsets, values)
 
 
+CHUNK_SF = 0.125  # ~1.25M rows per generation chunk (bounds datagen memory)
+
+
 def materialize(sf: float, out_dir: str | Path, seed: int = SEED) -> Path:
     """Write token_sequences (hive-partitioned by source), raw_lines, truth, lookups.
 
-    Chunked so int32 list offsets never overflow at SF=1 (~2GB of token bytes).
+    Generation is chunked (CHUNK_SF per chunk, seed derived per chunk) so
+    SF=1 (10M rows) never holds the whole frame in memory; output is
+    deterministic in (sf, seed). raw_lines/truth become multi-part datasets
+    at large SF (pandas/duckdb read them transparently).
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    df = generate(sf, seed)
 
-    chunk = 1_000_000
-    batches: list[pa.RecordBatch] = []
-    for start in range(0, len(df), chunk):
-        part = df.iloc[start: start + chunk]
-        tbl = pa.table(
-            {
-                "doc_id": pa.array(part["doc_id"], type=pa.string()),
-                "tokens": _tokens_list_array(part["line"].reset_index(drop=True)),
-                "n_tok": pa.array(part["line"].str.len().astype("int32")),
-                "source": pa.array(part["source"], type=pa.string()),
-            }
+    # chunk plan: k full chunks + remainder
+    sfs: list[float] = []
+    left = sf
+    while left > CHUNK_SF + 1e-9:
+        sfs.append(CHUNK_SF)
+        left = round(left - CHUNK_SF, 9)
+    sfs.append(round(left, 9))
+
+    raw_dir = out / "raw_lines.parquet"
+    truth_dir = out / "truth.parquet"
+    for d in (raw_dir, truth_dir):
+        if d.exists() and d.is_dir():
+            import shutil
+
+            shutil.rmtree(d)
+        elif d.exists():
+            d.unlink()
+    raw_dir.mkdir()
+    truth_dir.mkdir()
+
+    total_rows = 0
+    start_index = 0
+    first = True
+    for ci, csf in enumerate(sfs):
+        df = generate(csf, seed + ci, start_index=start_index)
+        start_index += len(df)
+        total_rows += len(df)
+
+        chunk = 1_000_000
+        batches: list[pa.RecordBatch] = []
+        for start in range(0, len(df), chunk):
+            part = df.iloc[start: start + chunk]
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array(part["doc_id"], type=pa.string()),
+                    "tokens": _tokens_list_array(part["line"].reset_index(drop=True)),
+                    "n_tok": pa.array(part["line"].str.len().astype("int32")),
+                    "source": pa.array(part["source"], type=pa.string()),
+                }
+            )
+            batches.extend(tbl.to_batches(max_chunksize=128 * 1024))
+        pads.write_dataset(
+            batches,
+            out / "token_sequences",
+            format="parquet",
+            schema=batches[0].schema,
+            partitioning=pads.partitioning(
+                pa.schema([("source", pa.string())]), flavor="hive"
+            ),
+            existing_data_behavior="delete_matching" if first else "overwrite_or_ignore",
+            basename_template=f"chunk{ci}-part-{{i}}.parquet",
+            max_rows_per_group=64 * 1024,
         )
-        batches.extend(tbl.to_batches(max_chunksize=128 * 1024))
-    pads.write_dataset(
-        batches,
-        out / "token_sequences",
-        format="parquet",
-        schema=batches[0].schema,
-        partitioning=pads.partitioning(pa.schema([("source", pa.string())]), flavor="hive"),
-        existing_data_behavior="delete_matching",
-        max_rows_per_group=64 * 1024,
-    )
+        first = False
 
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(df["doc_id"], type=pa.string()),
-                "source": pa.array(df["source"], type=pa.string()),
-                "line": pa.array(df["line"], type=pa.large_string()),
-            }
-        ),
-        out / "raw_lines.parquet",
-    )
-    truth = df.drop(columns=["line"])
-    truth.to_parquet(out / "truth.parquet", index=False)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(df["doc_id"], type=pa.string()),
+                    "source": pa.array(df["source"], type=pa.string()),
+                    "line": pa.array(df["line"], type=pa.large_string()),
+                }
+            ),
+            raw_dir / f"part-{ci:04d}.parquet",
+        )
+        df.drop(columns=["line"]).to_parquet(
+            truth_dir / f"part-{ci:04d}.parquet", index=False
+        )
+        del df
 
     lk = out / "lookups"
     lk.mkdir(exist_ok=True)
     write_lookups(lk)
-    (out / "_SUCCESS").write_text(f"sf={sf} seed={seed} rows={len(df)}\n")
+    (out / "_SUCCESS").write_text(f"sf={sf} seed={seed} rows={total_rows}\n")
     return out
 
 

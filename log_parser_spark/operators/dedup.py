@@ -16,9 +16,28 @@ parity at test scale and is guarded by a candidate join on shared n-grams.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hash64_uniques(strings) -> np.ndarray:
+    """Deterministic 64-bit hash per unique string (blake2b, platform-stable).
+
+    Called on the FACTORIZED vocabulary only — corpora repeat tokens/grams
+    heavily, so this per-unique Python loop is O(vocab), not O(corpus)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in strings
+        ),
+        dtype=np.uint64,
+        count=len(strings),
+    )
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -94,23 +113,52 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[list[int], list[int]]
 MERSENNE = (1 << 31) - 1
 
 
+def _doc_word_ngrams_py(words: list[str], n: int) -> set[str]:
+    """Same semantics as word_ngrams(): k<=n docs yield one truncated gram."""
+    if len(words) <= n:
+        return {" ".join(words[:n])}
+    return {" ".join(words[i: i + n]) for i in range(len(words) - n + 1)}
+
+
+def _minhash_kernel(text: pd.Series, n: int, num_perm: int, seed: int) -> pd.Series:
+    """Arrow-batched signature kernel: factorize grams across the batch,
+    hash the vocabulary once, evaluate all permutations as one (P,U) numpy
+    matrix, segment-min per doc via minimum.reduceat — O(batch grams)."""
+    a, b = _minhash_params(num_perm, seed)
+    A = np.array(a, dtype=np.uint64)[:, None]
+    B = np.array(b, dtype=np.uint64)[:, None]
+
+    vocab: dict[str, int] = {}
+    gram_idx: list[int] = []
+    starts: list[int] = []
+    for t in text.fillna(""):
+        starts.append(len(gram_idx))
+        for g in _doc_word_ngrams_py(t.split(), n):
+            gram_idx.append(vocab.setdefault(g, len(vocab)))
+    if not vocab:
+        return pd.Series([[0] * num_perm] * len(text), index=text.index, dtype=object)
+
+    h = _hash64_uniques(list(vocab)) % np.uint64(MERSENNE)
+    perms = (A * h[None, :] + B) % np.uint64(MERSENNE)         # (P, U)
+    M = perms[:, np.array(gram_idx, dtype=np.int64)]           # (P, G)
+    mins = np.minimum.reduceat(M, np.array(starts, dtype=np.int64), axis=1)  # (P, D)
+    out = mins.T.astype(np.int64)
+    return pd.Series(list(out), index=text.index, dtype=object)
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 16, seed: int = 7) -> DataFrame:
     """Per-doc MinHash signature over word n-grams.
 
-    Base gram hash = xxhash64 (JVM); permutations h_i(x) = (a_i*x+b_i) mod p
-    folded with aggregate(min) per row — zero shuffle for signatures.
+    Vectorized Arrow kernel (no shuffle): grams are factorized per batch so
+    each unique gram is hashed once; permutations h_i(x) = (a_i*x+b_i) mod p
+    evaluate as a single numpy matrix; per-doc minima via segment-reduce.
     """
-    a, b = _minhash_params(num_perm, seed)
-    grams = F.array_distinct(word_ngrams(F.col("text"), n))
-    hashes = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE)))
 
-    def perm(ai: int, bi: int):
-        return lambda h: F.pmod(h * F.lit(ai) + F.lit(bi), F.lit(MERSENNE))
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(text: pd.Series) -> pd.Series:
+        return _minhash_kernel(text, n, num_perm, seed)
 
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(ai, bi))) for ai, bi in zip(a, b)]
-    )
-    return docs.select("doc_id", sig.alias("minhash"))
+    return docs.select("doc_id", sig_udf("text").alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -168,39 +216,52 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------ SimHash
 
+def _simhash_kernel(text: pd.Series) -> pd.Series:
+    """Arrow-batched SimHash: factorize words, hash the vocabulary once,
+    bit-vote with one segment-reduce over the whole batch — O(batch words)."""
+    vocab: dict[str, int] = {}
+    word_idx: list[int] = []
+    starts: list[int] = []
+    for t in text.fillna(""):
+        starts.append(len(word_idx))
+        for w in t.split():
+            word_idx.append(vocab.setdefault(w, len(vocab)))
+    n_docs = len(text)
+    if not vocab:
+        return pd.Series([0] * n_docs, index=text.index, dtype="int64")
+
+    h = _hash64_uniques(list(vocab))                            # (U,)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)  # (U,64)
+    G = bits[np.array(word_idx, dtype=np.int64)]                # (W,64)
+    # empty docs are zero-width segments; reduceat over the NONEMPTY starts
+    # sums each doc's contiguous word rows exactly (zero-width neighbors
+    # don't shift boundaries), empty docs keep all-zero votes
+    starts_a = np.array(starts, dtype=np.int64)
+    ends = np.append(starts_a[1:], len(word_idx))
+    empty = starts_a == ends
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    if (~empty).any():
+        votes[~empty] = np.add.reduceat(G, starts_a[~empty], axis=0)
+    packed = (votes > 0).astype(np.uint64)
+    sh = np.zeros(n_docs, dtype=np.uint64)
+    for k in range(64):
+        sh |= packed[:, k] << np.uint64(k)
+    return pd.Series(sh.astype(np.int64), index=text.index)
+
+
 def simhash(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash: per-word xxhash64, bit-vote, sign -> bit.
+    """64-bit SimHash: per-word 64-bit hash, bit-vote, sign -> bit.
 
-    Expressed as a per-row fold (aggregate over the word array accumulating
-    64 counters via the hash's 64-char two's-complement bit string) — no
-    explode, no shuffle, whole-stage-codegen friendly.
-    """
-    words = F.split(F.col("text"), r"\s+")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    Vectorized Arrow kernel: each unique word hashed once per batch, votes
+    via numpy segment-reduce, bit-pack in 64 vector ops. (The reference has
+    no such operator; this is the training-data near-dup path.)"""
 
-    def bits_of(h):
-        bstr = F.lpad(F.bin(h), 64, "0")  # MSB-first; negatives already 64 chars
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(bstr.substr(i, F.lit(1)) == "1", 1).otherwise(-1),
-        )
+    @F.pandas_udf(T.LongType())
+    def sh_udf(text: pd.Series) -> pd.Series:
+        return _simhash_kernel(text)
 
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y),
-    )
-    # reassemble MSB-first: votes[1] is bit 63 (sign bit -> long.min literal)
-    terms = [
-        F.when(F.element_at(votes, 1) > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-    ] + [
-        F.when(F.element_at(votes, 64 - i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        for i in range(62, -1, -1)
-    ]
-    sh = terms[0]
-    for t in terms[1:]:
-        sh = sh.bitwiseOR(t)
-    return docs.select("doc_id", sh.alias("simhash"))
+    return docs.select("doc_id", sh_udf("text").alias("simhash"))
 
 
 def hamming64(a, b):
