@@ -460,6 +460,74 @@ def tl_was_events(spark, sf):
     return A.was_event_counts(parsed_family(classified, "was"), "source")
 
 
+def tl_uri_baseline_deviation(spark, sf):
+    """J2 baseline-ART broadcast join + deviation calc (sh:1010-1022)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.enrich import baseline_deviation
+    from log_parser_spark.operators.parse import parsed_family
+    from log_parser_spark.sources.token_table import read_lookup
+
+    classified, d = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return baseline_deviation(A.uri_stats(access), read_lookup(spark, d, "perf_baseline"))
+
+
+def tl_txn_pairs(spark, sf):
+    """J4 stateful WTRN0006W⋈WTRN0124I pairing (websphereLogParser.sh:236-247)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    return A.txn_timeout_pairs(parsed_family(classified, "was"))
+
+
+def tl_mpm_peak(spark, sf):
+    """A21/J6 argmax whole-row per server over merged mpm stats (webErrorLogParser.sh:361-373)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    return A.mpm_max_busy(parsed_family(classified, "weberror"))
+
+
+def tl_sessionization(spark, sf):
+    """J5 login→logout session durations (sh:715-720,1273-1295)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return A.sessionization(access)
+
+
+def tl_top_slowest(spark, sf):
+    """T1 top-10 slowest requests (sh:1300-1329)."""
+    from log_parser_spark.operators import topn as TN
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return TN.top_slowest_requests(access)
+
+
+def tl_alerts(spark, sf):
+    """F9→S9 threshold alerts off the full report set."""
+    import tempfile
+
+    from log_parser_spark.plans.pipeline import run_pipeline
+    from log_parser_spark.sources.atomic import AtomicTable
+
+    from log_parser_spark import datagen
+
+    d = datagen.ensure_dataset(0.001)
+    out = tempfile.mkdtemp(prefix="tl_alerts_")
+    run_pipeline(spark, d, out)
+    alerts = AtomicTable(f"{out}/alerts").read(spark)
+    if alerts is None:
+        return spark.createDataFrame([], "metric string, scope string, observed double")
+    return alerts
+
+
 def q_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs (xxhash64-based; verified vs py oracle in tests)."""
     from log_parser_spark.operators.dedup import minhash_lsh_pairs
@@ -540,6 +608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tl_hourly_stats": tl_hourly_stats,
         "tl_gc_daily": tl_gc_daily,
         "tl_was_events": tl_was_events,
+        "tl_uri_baseline_deviation": tl_uri_baseline_deviation,
+        "tl_txn_pairs": tl_txn_pairs,
+        "tl_mpm_peak": tl_mpm_peak,
+        "tl_sessionization": tl_sessionization,
+        "tl_top_slowest": tl_top_slowest,
+        "tl_alerts": tl_alerts,
     }
 
 

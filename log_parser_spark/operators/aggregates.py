@@ -384,16 +384,30 @@ def starvation_summary(was: DataFrame) -> DataFrame:
 
 def txn_timeout_pairs(was: DataFrame) -> DataFrame:
     """J4: stateful WTRN0006W/WTRN0124I pairing -> self-join on (source, thread)
-    (websphereLogParser.sh:236-247)."""
-    tto = was.filter(F.col("msg_code") == "WTRN0006W").select(
-        "source", "thread", F.col("txn_id"), F.col("timeout_s")
+    (websphereLogParser.sh:236-247).
+
+    The reference stores arr[server|threadId] = (timeout, txnId) at the
+    WTRN0006W line and emits the STORED values when WTRN0124I arrives on the
+    same key — it never compares txn ids. Re-expressed as: latest timeout
+    row per (source, thread) joined to each release row on that key."""
+    # WAS `time` is H:MM:SS with unpadded hour — order on numeric seconds
+    secs = (
+        F.col("hour") * 3600
+        + F.split("time", ":").getItem(1).cast("int") * 60
+        + F.split("time", ":").getItem(2).cast("int")
+    )
+    w = Window.partitionBy("source", "thread").orderBy(
+        F.desc("event_date"), secs.desc(), F.desc("doc_id"))
+    tto = (
+        was.filter(F.col("msg_code") == "WTRN0006W")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "thread", "txn_id", "timeout_s")
     )
     rel = was.filter(F.col("msg_code") == "WTRN0124I").select(
-        "source", "thread", F.col("txn_id").alias("rel_txn_id"), F.col("chtc")
-    )
-    return tto.join(rel, ["source", "thread"], "inner").filter(
-        F.col("txn_id") == F.col("rel_txn_id")
-    ).drop("rel_txn_id").orderBy("source", "thread", "txn_id")
+        "source", "thread", F.col("chtc"))
+    return tto.join(rel, ["source", "thread"], "inner").orderBy(
+        "source", "thread", "txn_id")
 
 
 def filtered_error_counts(was: DataFrame, custom_filter: DataFrame) -> DataFrame:

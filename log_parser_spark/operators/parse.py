@@ -235,8 +235,12 @@ def _parse_was_pdf(line: pd.Series) -> pd.DataFrame:
     msg = g["msg"].fillna("")
     code = msg.str.extract(P.WAS_MSG_CODE, expand=False).fillna("")
 
-    # date M/D/YY -> ISO
-    dparts = g["date"].str.split("/", expand=True)
+    # date M/D/YY -> ISO (reindex+object: an all-miss batch yields a short
+    # float-NaN frame, which would break the string concat below)
+    dparts = (
+        g["date"].str.split("/", expand=True)
+        .reindex(columns=[0, 1, 2]).astype(object)
+    )
     event_date = (
         "20" + dparts[2] + "-" + dparts[0].str.zfill(2) + "-" + dparts[1].str.zfill(2)
     )

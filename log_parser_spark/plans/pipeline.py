@@ -45,6 +45,7 @@ class PipelineResult:
     elapsed_s: float = 0.0
     committed: list = field(default_factory=list)
     skipped: list = field(default_factory=list)
+    phase_s: dict = field(default_factory=dict)
 
 
 def _access_reports(access: DataFrame, lookups: dict) -> dict[str, DataFrame]:
@@ -179,6 +180,7 @@ def run_pipeline(
 
         parsed_full = salted(parsed_full, num_partitions, "category")
     commit("sinks", parsed_full, f"{recorddate}-routed", partition_by=["category"])
+    res.phase_s["parse_route_sinks"] = round(time.time() - t0, 2)
 
     sinks_table = AtomicTable(out / "sinks")
     classified = sinks_table.read(spark)
@@ -207,37 +209,25 @@ def run_pipeline(
     if rpttype in ("all", "gc"):
         reports.update(_gc_reports(gc, th))
 
-    # Commit reports concurrently: each is a small independent job off the
-    # persisted parsed frames; Spark's scheduler interleaves them across the
-    # local cores (fair at cluster scale too — separate jobs, shared cache).
-    # Sequential when crash-injection needs deterministic commit order.
-    if stop_after is not None:
-        for name, df in reports.items():
-            commit(f"reports/{name}", df, recorddate)
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            futs = {
-                pool.submit(commit, f"reports/{name}", df, recorddate): name
-                for name, df in reports.items()
-            }
-            for f in futs:
-                f.result()
-    res.reports = reports
-
-    # ---- history append (S8): one daily row per history table; gated on
-    # daily mode like the reference (usage.sh:111-119, e.g. sh:984-986)
+    # Commit reports + history + alerts concurrently: each is a small
+    # independent job off the silver sinks; Spark's scheduler interleaves
+    # them across the local cores (fair at cluster scale too — separate
+    # jobs, shared scan cache). Sequential when crash-injection needs
+    # deterministic commit order.
+    tail: list[tuple[str, DataFrame]] = [
+        (f"reports/{name}", df) for name, df in reports.items()
+    ]
+    # history append (S8): one daily row per history table; gated on daily
+    # mode like the reference (usage.sh:111-119, e.g. sh:984-986)
     if procoption == "daily" and rpttype == "all":
-        commit("history/http_perf",
-               reports["daily_rollup"].withColumn("record_date", F.lit(recorddate)),
-               recorddate)
-        commit("history/gc", reports["gc_daily"], recorddate)
-        commit("history/recycles",
-               reports["http_recycles"].withColumn("record_date", F.lit(recorddate)),
-               recorddate)
-
-    # ---- alerts (F9 -> S9): reuse the already-built report frames
+        tail += [
+            ("history/http_perf",
+             reports["daily_rollup"].withColumn("record_date", F.lit(recorddate))),
+            ("history/gc", reports["gc_daily"]),
+            ("history/recycles",
+             reports["http_recycles"].withColumn("record_date", F.lit(recorddate))),
+        ]
+    # alerts (F9 -> S9): reuse the already-built report frames
     if rpttype == "all":
         alerts = AL.build_alerts(
             th,
@@ -251,7 +241,21 @@ def run_pipeline(
             gc_daily=reports["gc_daily"],
         )
         if alerts is not None:
-            commit("alerts", alerts, recorddate)
+            tail.append(("alerts", alerts))
+
+    if stop_after is not None:
+        for name, df in tail:
+            commit(name, df, recorddate)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            futs = [pool.submit(commit, name, df, recorddate) for name, df in tail]
+            for f in futs:
+                f.result()
+    res.reports = reports
+    res.phase_s["reports_history_alerts"] = round(
+        time.time() - t0 - sum(res.phase_s.values()), 2)
 
     # ---- metrics
     cat_counts = {r["category"]: r["cnt"] for r in
@@ -259,4 +263,6 @@ def run_pipeline(
     res.sink_counts = cat_counts
     res.rows_in = sum(cat_counts.values())
     res.elapsed_s = time.time() - t0
+    res.phase_s["metrics"] = round(
+        res.elapsed_s - sum(res.phase_s.values()), 2)
     return res

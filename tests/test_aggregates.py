@@ -160,11 +160,21 @@ def test_was_event_counts(was_df, t_was):
 
 
 def test_txn_pairs(was_df, t_was):
+    """Reference semantics (websphereLogParser.sh:236-247): WTRN0124I emits
+    the STORED WTRN0006W values for its (server, thread) key — one output
+    row per release whose key has at least one timeout; txn ids are carried
+    from the stored timeout row, never compared."""
     got = A.txn_timeout_pairs(was_df).toPandas()
     tto = t_was[t_was.w_subtype == "tto"][["source", "w_thread", "w_txn_id"]]
-    rel = t_was[t_was.w_subtype == "tto_rel"][["source", "w_thread", "w_txn_id"]]
-    exp = tto.merge(rel, on=["source", "w_thread", "w_txn_id"])
-    assert len(got) == len(exp)
+    rel = t_was[t_was.w_subtype == "tto_rel"][["source", "w_thread"]]
+    tto_keys = set(map(tuple, tto[["source", "w_thread"]].values))
+    exp_rows = sum(1 for k in map(tuple, rel.values) if k in tto_keys)
+    assert len(got) == exp_rows
+    # every emitted txn_id belongs to a real timeout on the same key
+    valid = set(map(tuple, tto.values))
+    assert all(
+        (r.source, r.thread, r.txn_id) in valid for r in got.itertuples()
+    )
 
 
 def test_mpm_peak(err_df, truth):
