@@ -24,6 +24,14 @@ def resp_range(rt_sec: Column) -> Column:
     return c.otherwise(RANGE_LABELS[-1])
 
 
+def bucket_py(rt_sec: float) -> str:
+    """Python twin of resp_range (test/property oracle)."""
+    for bound, label in zip(RANGE_BOUNDS, RANGE_LABELS):
+        if rt_sec <= bound:
+            return label
+    return RANGE_LABELS[-1]
+
+
 def resp_range_sql(expr: str) -> str:
     """Same bucketing as ANSI SQL (for DuckDB oracles)."""
     return (

@@ -104,6 +104,26 @@ class AtomicTable:
     def snapshot_paths(self) -> list[str]:
         return [rec["path"] for rec in self.committed().values()]
 
+    def read_since(self, spark: SparkSession, txid: str | None) -> DataFrame | None:
+        """Incremental read: only snapshots committed strictly AFTER `txid`
+        (None -> everything). The Iceberg incremental-scan analogue of the
+        reference's partial mode / mid-file skip (javaGCStatsParser.sh:111-120,
+        SURVEY.md S5): a consumer records the last txid it processed and
+        re-reads only newer snapshots."""
+        recs = list(self.committed().values())
+        if txid is not None:
+            seen = [i for i, r in enumerate(recs) if r["txid"] == txid]
+            recs = recs[seen[0] + 1:] if seen else recs
+        if not recs:
+            return None
+        return spark.read.option("basePath", str(self.root)).parquet(
+            *[r["path"] for r in recs]
+        )
+
+    def last_txid(self) -> str | None:
+        recs = list(self.committed().values())
+        return recs[-1]["txid"] if recs else None
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         recs = list(self.committed().values())
         if not recs:
