@@ -125,16 +125,22 @@ ACCESS_STRUCT = T.StructType(
 _MONTH = {m: i + 1 for i, m in enumerate("Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split())}
 
 
-def _parse_access_pdf(line: pd.Series) -> pd.DataFrame:
-    """Vectorized access-line grok — P1-P9 (webAccessLogParser.sh:164-667)."""
-    g = line.str.extract(P.ACCESS)
+def _on_uniques(s: pd.Series, fn):
+    """Apply a frame-producing fn to the DISTINCT values of s and broadcast
+    back — request targets/methods repeat heavily (thousands of uniques vs
+    billions of rows), so per-unique work amortizes to ~zero per row."""
+    uniq = pd.Series(s.dropna().unique())
+    if len(uniq) >= max(64, len(s) // 4):
+        return fn(s)
+    res = fn(uniq)
+    res.index = uniq
+    out = res.reindex(s.values)
+    out.index = s.index
+    return out
 
-    req = g["request"].str.extract(P.REQUEST)
-    # P3 glued-method repair: trailing valid-method wins (webAccessLogParser.sh:329-378)
-    method = req["rawmethod"].str.extract(P.METHOD_SUFFIX, expand=False)
 
-    # P4 URL decomposition
-    target = req["target"].fillna("")
+def _decompose_url(target: pd.Series) -> pd.DataFrame:
+    """P4 URL decomposition (webAccessLogParser.sh:380-414)."""
     qsplit = target.str.split("?", n=1)
     uri_path = qsplit.str[0]
     params = qsplit.str[1].fillna("NA")
@@ -143,6 +149,26 @@ def _parse_access_pdf(line: pd.Series) -> pd.DataFrame:
     page = segs.str[-1].replace("", "/")
     has_ext = page.str.contains(r"\.", regex=True, na=False)
     ext = page.str.rsplit(".", n=1).str[-1].where(has_ext, "NA")
+    return pd.DataFrame({"uri_path": uri_path, "params": params,
+                         "domain": domain, "page": page, "ext": ext})
+
+
+def _parse_access_pdf(line: pd.Series) -> pd.DataFrame:
+    """Vectorized access-line grok — P1-P9 (webAccessLogParser.sh:164-667)."""
+    g = line.str.extract(P.ACCESS)
+
+    req = g["request"].str.extract(P.REQUEST)
+    # P3 glued-method repair: trailing valid-method wins (webAccessLogParser.sh:329-378)
+    method = _on_uniques(
+        req["rawmethod"],
+        lambda s: s.str.extract(P.METHOD_SUFFIX, expand=False),
+    )
+
+    # P4 URL decomposition — computed per DISTINCT target, broadcast back
+    target = req["target"].fillna("")
+    url = _on_uniques(target, _decompose_url)
+    uri_path, params = url["uri_path"], url["params"]
+    domain, page, ext = url["domain"], url["page"], url["ext"]
 
     # P5 jsession/cloneID: strip 0000 prefix, clone after ':' (webAccessLogParser.sh:433-445)
     jsession = g["jsession"]
