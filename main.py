@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/SPARK_GRAFT_CPUS)")
     p.add_argument("--num-partitions", type=int, default=0,
                    help=">0 enables salted repartition before the sink write")
+    p.add_argument("--render", action="store_true",
+                   help="also write the NN_*SummaryRpt.txt text reports")
     return p
 
 
@@ -64,7 +66,14 @@ def main(argv: list[str] | None = None) -> int:
         rpttype=args.rpttype,
         procoption=args.procoption,
     )
+    rendered = []
+    if args.render and args.rpttype == "all":
+        from log_parser_spark.reports import render_all
+
+        rendered = [str(p) for p in
+                    render_all(args.out, res.reports, args.recorddate)]
     print(json.dumps({
+        **({"rendered": rendered} if rendered else {}),
         "rows_in": res.rows_in,
         "sink_counts": res.sink_counts,
         "committed": len(res.committed),
