@@ -90,19 +90,27 @@ def main() -> None:
     ).fetchone()[0]
 
     scaling: dict = {}
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     if not os.environ.get("BENCH_SKIP_SCALING"):
         # N → 4N pair (the north-rule criterion), plus the full-machine run.
         # 2→8 is the honest pair on this single-socket box: beyond ~8-16
         # cores the string-heavy kernel saturates the memory bus, which on a
         # real cluster is per-executor, not per-job (see BENCH.md).
-        lo = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
-        hi = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
+        # Legs are interleaved and best-of-N: the VM shares a host, and
+        # steal-time noise between runs is ±20% — best-of suppresses it.
+        lo_runs, hi_runs = [], []
+        for _ in range(repeats):
+            lo_runs.append(run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores)))
+            hi_runs.append(run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores)))
+        lo = max(lo_runs, key=lambda r: r["seq_per_s"])
+        hi = max(hi_runs, key=lambda r: r["seq_per_s"])
         full = run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
         eff = (hi["seq_per_s"] / lo["seq_per_s"]) / (hi_cores / lo_cores)
         scaling = {
             f"local{lo_cores}": lo, f"local{hi_cores}": hi, f"local{cpus}": full,
+            "all_runs": {"lo": lo_runs, "hi": hi_runs},
             "efficiency_Nto4N": round(eff, 3),
-            "pair": f"local[{lo_cores}]->local[{hi_cores}]",
+            "pair": f"local[{lo_cores}]->local[{hi_cores}] best-of-{repeats}",
         }
         best = max((lo, hi, full), key=lambda r: r["seq_per_s"])
     else:

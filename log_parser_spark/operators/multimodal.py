@@ -100,6 +100,43 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def resize(media: DataFrame, width: int = 224, height: int = 224,
+           decoder: str = "fake") -> DataFrame:
+    """Resize stub: emits payloads scaled to the target dims.
+
+    Real implementation decodes, resizes (PIL/opencv), re-encodes; the fake
+    kernel deterministically re-samples the payload bytes to
+    width*height//64 bytes so batch shapes, output schema, and the
+    metadata update are all real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "image codec not available here; plug decode+resize in"
+                )
+            target = max(1, width * height // 64)
+            out_payload = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, num=target).astype(np.int64)
+                out_payload.append(bytearray(arr[idx].tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out_payload,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return media.filter(F.col("modality").isin("image", "video")).mapInPandas(
+        kernel, "media_id long, modality string, payload binary, width int, height int"
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 32, decoder: str = "fake") -> DataFrame:
     """Frame-sampling stub: emits one row per sampled 'frame' (byte offset).
 

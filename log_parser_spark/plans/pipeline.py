@@ -186,15 +186,18 @@ def run_pipeline(
     classified = sinks_table.read(spark)
 
     # ---- lineage (S10 / north rule)
-    commit("lineage", lineage_frame(classified).withColumn("snapshot_id", F.lit(f"{recorddate}-routed")),
-           f"{recorddate}-lineage")
+    lineage = lineage_frame(classified).withColumn(
+        "snapshot_id", F.lit(f"{recorddate}-routed"))
+    commit("lineage", lineage, f"{recorddate}-lineage")
 
     # ---- per-family parsed frames off the written sinks: every report is a
     # column-pruned parquet read with a family/date predicate pushed to the
     # scan — no persist needed (the sink files ARE the shared materialization)
     date_gate = F.col("event_date") == recorddate  # F8 summarize-date gate
+    # access is ~70% of rows and feeds ~19 reports — cache it once; the
+    # small families stay column-pruned parquet reads
     access = parsed_family(classified, "access").filter(
-        (F.col("category") == "access") & date_gate)
+        (F.col("category") == "access") & date_gate).persist()
     was = parsed_family(classified, "was").filter(date_gate)
     err = parsed_family(classified, "weberror").filter(date_gate)
     gc = parsed_family(classified, "gc").filter(date_gate)
@@ -257,12 +260,19 @@ def run_pipeline(
     res.phase_s["reports_history_alerts"] = round(
         time.time() - t0 - sum(res.phase_s.values()), 2)
 
-    # ---- metrics
-    cat_counts = {r["category"]: r["cnt"] for r in
-                  classified.groupBy("category").agg(F.count("*").alias("cnt")).collect()}
+    # ---- metrics: fold the committed per-partition lineage records instead
+    # of re-scanning the silver table (the counts are already there)
+    lineage_committed = AtomicTable(out / "lineage").read(spark)
+    agg = (
+        lineage_committed.select(F.explode("sink_counts").alias("category", "rows"))
+        .groupBy("category").agg(F.sum("rows").alias("cnt"))
+        .collect()
+    )
+    cat_counts = {r["category"]: r["cnt"] for r in agg}
     res.sink_counts = cat_counts
     res.rows_in = sum(cat_counts.values())
     res.elapsed_s = time.time() - t0
     res.phase_s["metrics"] = round(
         res.elapsed_s - sum(res.phase_s.values()), 2)
+    access.unpersist()
     return res

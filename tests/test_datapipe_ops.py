@@ -190,5 +190,12 @@ def test_multimodal_plumbing(spark):
     frames = M.frame_sample(media).toPandas()
     assert (frames["offset"] == frames["frame_idx"] * 32).all()
 
+    rs = M.resize(media, width=32, height=32).toPandas()
+    assert set(rs["modality"]) <= {"image", "video"}
+    assert rs["payload"].map(len).eq(32 * 32 // 64).all()
+    assert (rs["width"] == 32).all() and (rs["height"] == 32).all()
+
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         M.extract_features(media, decoder="real").count()
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        M.resize(media, decoder="real").count()
