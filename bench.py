@@ -41,16 +41,38 @@ def _tokenlog_sf(sf_dir: str) -> float:
         return 0.1
 
 
-def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:
-    """One cold SparkSession -> full pipeline -> wall + throughput."""
-    from log_parser_spark.plans.pipeline import run_pipeline
+def _session(cores: int, shuffle: int, tag: str):
     from log_parser_spark.session import get_spark
 
-    spark = get_spark(cores=cores, app_name=f"bench-local{cores}",
+    spark = get_spark(cores=cores, app_name=f"bench-{tag}{cores}",
                       shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup: JVM JIT + one python worker per core with our modules imported
-    # (worker cold-start is setup cost, not pipeline throughput)
+    return spark
+
+
+def run_core(cores: int, dataset_dir: str, shuffle: int) -> dict:
+    """Core dataflow only: scan → fused detokenize/classify/grok →
+    aggregate. No sink persistence — isolates the compute path whose
+    scaling governs a real cluster (per-executor memory buses)."""
+    from pyspark.sql import functions as F
+
+    from log_parser_spark.operators.parse import fused_parse
+    from log_parser_spark.sources.token_table import read_token_sequences
+
+    spark = _session(cores, shuffle, "core")
+    _warmup(spark, cores)
+    tok = read_token_sequences(spark, dataset_dir)
+    t0 = time.time()
+    rows = sum(
+        r["count"] for r in fused_parse(tok).groupBy("category").count().collect()
+    )
+    wall = time.time() - t0
+    spark.stop()
+    return {"cores": cores, "wall_s": round(wall, 2), "rows": rows,
+            "seq_per_s": round(rows / wall, 1)}
+
+
+def _warmup(spark, cores: int) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -61,6 +83,16 @@ def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:
         return x
 
     spark.range(cores * 4).repartition(cores * 2).select(_warm("id")).count()
+
+
+def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:
+    """One cold SparkSession -> full pipeline -> wall + throughput."""
+    from log_parser_spark.plans.pipeline import run_pipeline
+
+    spark = _session(cores, shuffle, "local")
+    # warmup: JVM JIT + one python worker per core with our modules imported
+    # (worker cold-start is setup cost, not pipeline throughput)
+    _warmup(spark, cores)
     out = tempfile.mkdtemp(prefix=f"bench{cores}_")
     t0 = time.time()
     res = run_pipeline(spark, dataset_dir, out)
@@ -90,27 +122,27 @@ def main() -> None:
     ).fetchone()[0]
 
     scaling: dict = {}
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     if not os.environ.get("BENCH_SKIP_SCALING"):
-        # N → 4N pair (the north-rule criterion), plus the full-machine run.
-        # 2→8 is the honest pair on this single-socket box: beyond ~8-16
-        # cores the string-heavy kernel saturates the memory bus, which on a
-        # real cluster is per-executor, not per-job (see BENCH.md).
-        # Legs are interleaved and best-of-N: the VM shares a host, and
-        # steal-time noise between runs is ±20% — best-of suppresses it.
-        lo_runs, hi_runs = [], []
-        for _ in range(repeats):
-            lo_runs.append(run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores)))
-            hi_runs.append(run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores)))
-        lo = max(lo_runs, key=lambda r: r["seq_per_s"])
-        hi = max(hi_runs, key=lambda r: r["seq_per_s"])
+        # N → 4N pair (the north-rule criterion), measured for BOTH the
+        # core dataflow (scan→fused parse→aggregate; the path that governs
+        # a multi-executor cluster) and the full pipeline (adds the sink
+        # write + ~46 snapshot commits, whose fixed tail plus host-steal
+        # noise lowers the small-wall ratio — see BENCH.md). 2→8 is the
+        # honest pair on this single-socket box: beyond ~8-16 cores the
+        # string-heavy kernel saturates the shared memory bus.
+        core_lo = run_core(lo_cores, tl_dir, shuffle=max(8, lo_cores))
+        core_hi = run_core(hi_cores, tl_dir, shuffle=max(8, hi_cores))
+        lo = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
+        hi = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
         full = run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
         eff = (hi["seq_per_s"] / lo["seq_per_s"]) / (hi_cores / lo_cores)
+        core_eff = (core_hi["seq_per_s"] / core_lo["seq_per_s"]) / (hi_cores / lo_cores)
         scaling = {
             f"local{lo_cores}": lo, f"local{hi_cores}": hi, f"local{cpus}": full,
-            "all_runs": {"lo": lo_runs, "hi": hi_runs},
+            "core_job": {f"local{lo_cores}": core_lo, f"local{hi_cores}": core_hi,
+                         "efficiency_Nto4N": round(core_eff, 3)},
             "efficiency_Nto4N": round(eff, 3),
-            "pair": f"local[{lo_cores}]->local[{hi_cores}] best-of-{repeats}",
+            "pair": f"local[{lo_cores}]->local[{hi_cores}]",
         }
         best = max((lo, hi, full), key=lambda r: r["seq_per_s"])
     else:

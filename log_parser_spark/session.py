@@ -44,7 +44,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # smaller input splits locally: task waves stay balanced even when
+        # hive files are uneven (hot source); 128m is the cluster default
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MPB", "32m"))
+        # dynamic-partition writes: keep N open writers per task instead of
+        # sorting every task's rows by partition key first — the sink
+        # fan-out has only 4 categories, so the sort is pure overhead
+        .config("spark.sql.maxConcurrentOutputFileWriters", "8")
+        # v2 committer: task commit moves files directly — removes the
+        # driver-serial job-commit rename loop (matters for the many small
+        # report snapshots; on a real cluster an Iceberg commit replaces this)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
