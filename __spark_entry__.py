@@ -339,6 +339,37 @@ def q_bucketize(spark, sf):
     return ev.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt"))
 
 
+def q_stats_moments(spark, sf):
+    """Statistical aggregates: stddev/variance/correlation per group."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def q_median_price(spark, sf):
+    """Exact interpolated percentiles (T-digest-free, parity with SQL)."""
+    od = _t(spark, sf, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q_point_lookup(spark, sf):
+    """whereuid-style selection: all rows for one key, projected + ordered
+    (webAccessLogParser.sh:168,1293 T10)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("user_id") == 7)
+        .select("event_id", "event_type", _fmt_ts("ts").alias("ts_s"),
+                F.round("value", 2).alias("value_r"))
+    )
+
+
 # ---------------------------------------------------------- training-data ops
 
 def q_dedup_exact(spark, sf):
@@ -590,6 +621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_window": q_running_window,
         "regex_extract": q_regex_extract,
         "bucketize": q_bucketize,
+        "stats_moments": q_stats_moments,
+        "median_price": q_median_price,
+        "point_lookup": q_point_lookup,
         "dedup_exact": q_dedup_exact,
         "dedup_rate": q_dedup_rate,
         "token_stats": q_token_stats,
@@ -789,6 +823,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '>80' END AS bucket,
                    COUNT(*) AS cnt
             FROM events GROUP BY 1
+        """,
+        "stats_moments": """
+            SELECT l_returnflag,
+                   ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+                   ROUND(var_samp(l_quantity), 4) AS var_qty,
+                   ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "median_price": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "point_lookup": """
+            SELECT event_id, event_type,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   ROUND(value, 2) AS value_r
+            FROM events WHERE user_id = 7
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_dups
