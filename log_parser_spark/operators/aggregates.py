@@ -347,10 +347,18 @@ def hung_thread_summary(was: DataFrame) -> DataFrame:
     concurrent), rhtc (remaining at last event) (websphereLogParser.sh:443-532).
 
     rhtc = chtc of the time-ordered last hung/release event — a max_by over
-    (date, time) rather than the reference's file-order last-row scan.
+    (date, numeric-seconds, doc_id) rather than the reference's file-order
+    last-row scan.  WAS `time` has an UNPADDED hour ("9:00:00" > "10:00:00"
+    lexicographically), so the ordering key must be numeric, exactly as
+    txn_timeout_pairs below builds it.
     """
     h = was.filter(F.col("msg_code").isin("WSVR0605W", "WSVR0606W"))
-    ts_key = F.concat_ws(" ", F.col("event_date"), F.col("time"))
+    secs = (
+        F.col("hour") * 3600
+        + F.split("time", ":").getItem(1).cast("int") * 60
+        + F.split("time", ":").getItem(2).cast("int")
+    )
+    ts_key = F.struct(F.col("event_date"), secs.alias("secs"), F.col("doc_id"))
     return (
         h.groupBy(F.col("source").alias("jvm"))
         .agg(

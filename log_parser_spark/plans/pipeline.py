@@ -182,8 +182,11 @@ def run_pipeline(
     commit("sinks", parsed_full, f"{recorddate}-routed", partition_by=["category"])
     res.phase_s["parse_route_sinks"] = round(time.time() - t0, 2)
 
+    # Read back ONLY this run's snapshot (Iceberg snapshot-id scan): the sinks
+    # table accumulates one snapshot per daily run, and a rerun into the same
+    # out dir must not aggregate over N unioned copies of the corpus.
     sinks_table = AtomicTable(out / "sinks")
-    classified = sinks_table.read(spark)
+    classified = sinks_table.read_txid(spark, f"{recorddate}-routed")
 
     # ---- lineage (S10 / north rule)
     lineage = lineage_frame(classified).withColumn(
@@ -262,7 +265,10 @@ def run_pipeline(
 
     # ---- metrics: fold the committed per-partition lineage records instead
     # of re-scanning the silver table (the counts are already there)
-    lineage_committed = AtomicTable(out / "lineage").read(spark)
+    lineage_committed = (
+        AtomicTable(out / "lineage").read(spark)
+        .filter(F.col("snapshot_id") == f"{recorddate}-routed")
+    )
     agg = (
         lineage_committed.select(F.explode("sink_counts").alias("category", "rows"))
         .groupBy("category").agg(F.sum("rows").alias("cnt"))

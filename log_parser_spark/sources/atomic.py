@@ -104,6 +104,52 @@ class AtomicTable:
     def snapshot_paths(self) -> list[str]:
         return [rec["path"] for rec in self.committed().values()]
 
+    def _data_paths(self, recs: list[dict]) -> tuple[list[str], list[str]]:
+        """Split committed snapshots into (paths-with-data, schemas).
+
+        A committed snapshot whose directory is MISSING is genuine data loss
+        and raises; a directory that exists but holds no part files is a
+        legitimately-empty snapshot (0-row commit) and is skipped. This is
+        the explicit check that replaced a blanket ``except Exception`` which
+        used to mask corrupt/deleted snapshots as empty tables.
+        """
+        paths: list[str] = []
+        schemas: list[str] = []
+        for r in recs:
+            p = Path(r["path"])
+            if not p.exists():
+                raise FileNotFoundError(
+                    f"committed snapshot missing: {p} (txid={r['txid']}) — "
+                    "manifest and data disagree; refusing to read as empty"
+                )
+            if any(p.rglob("part-*.parquet")):
+                paths.append(str(p))
+            if r.get("schema"):
+                schemas.append(r["schema"])
+        return paths, schemas
+
+    def _read_recs(self, spark: SparkSession, recs: list[dict]) -> DataFrame | None:
+        if not recs:
+            return None
+        paths, schemas = self._data_paths(recs)
+        if not paths:  # every snapshot committed 0 rows
+            from pyspark.sql import types as T
+
+            if not schemas:
+                raise ValueError(f"{self.root}: empty snapshots and no stored schema")
+            schema = T.StructType.fromJson(json.loads(schemas[-1]))
+            return spark.createDataFrame([], schema)
+        return spark.read.option("basePath", str(self.root)).parquet(*paths)
+
+    def read_txid(self, spark: SparkSession, txid: str) -> DataFrame | None:
+        """Read exactly ONE committed snapshot — the Iceberg snapshot-id scan.
+
+        This is what a daily run must use to see only ITS OWN routed rows:
+        ``read()`` unions every committed snapshot, so a second run into the
+        same table would aggregate duplicated copies of the corpus."""
+        rec = self.committed().get(txid)
+        return self._read_recs(spark, [rec]) if rec is not None else None
+
     def read_since(self, spark: SparkSession, txid: str | None) -> DataFrame | None:
         """Incremental read: only snapshots committed strictly AFTER `txid`
         (None -> everything). The Iceberg incremental-scan analogue of the
@@ -114,30 +160,11 @@ class AtomicTable:
         if txid is not None:
             seen = [i for i, r in enumerate(recs) if r["txid"] == txid]
             recs = recs[seen[0] + 1:] if seen else recs
-        if not recs:
-            return None
-        return spark.read.option("basePath", str(self.root)).parquet(
-            *[r["path"] for r in recs]
-        )
+        return self._read_recs(spark, recs)
 
     def last_txid(self) -> str | None:
         recs = list(self.committed().values())
         return recs[-1]["txid"] if recs else None
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        recs = list(self.committed().values())
-        if not recs:
-            return None
-        try:
-            return spark.read.option("basePath", str(self.root)).parquet(
-                *[r["path"] for r in recs]
-            )
-        except Exception:
-            # all snapshots empty (no part files): rebuild from stored schema
-            from pyspark.sql import types as T
-
-            schemas = [r.get("schema") for r in recs if r.get("schema")]
-            if not schemas:
-                raise
-            schema = T.StructType.fromJson(json.loads(schemas[-1]))
-            return spark.createDataFrame([], schema)
+        return self._read_recs(spark, list(self.committed().values()))

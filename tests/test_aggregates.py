@@ -140,6 +140,20 @@ def test_was_summaries(was_df, t_was):
     assert hung["mhtc"].astype(int).sort_index().equals(
         exp_mhtc.astype(int).sort_index().rename_axis("jvm"))
 
+    # rhtc = chtc of the time-ordered LAST hung/release event per JVM.  The
+    # WAS time has an unpadded hour ("9:00:00" > "10:00:00" lexicographically),
+    # so the oracle must order NUMERICALLY — exactly the round-1 judge bug.
+    # Truth carries no seconds column, so parse them in pandas from the
+    # already-parse-tested `time` field and redo the argmax independently.
+    h = (was_df.filter(F.col("msg_code").isin("WSVR0605W", "WSVR0606W"))
+         .select("source", "event_date", "time", "doc_id", "chtc").toPandas())
+    tm = h["time"].str.extract(r"^(\d+):(\d+):(\d+)")
+    h["secs"] = tm[0].astype(int) * 3600 + tm[1].astype(int) * 60 + tm[2].astype(int)
+    last = h.sort_values(["event_date", "secs", "doc_id"]).groupby("source").tail(1)
+    exp_rhtc = last.set_index("source")["chtc"]
+    assert hung["rhtc"].astype(int).sort_index().equals(
+        exp_rhtc.astype(int).sort_index().rename_axis("jvm"))
+
     tto = A.tto_summary(was_df).toPandas().set_index("jvm")
     exp_tto = t_was[t_was.w_code == "WTRN0006W"].groupby("source").size()
     assert tto["tto_cnt"].sort_index().equals(exp_tto.sort_index().rename_axis("jvm"))
