@@ -492,7 +492,11 @@ def tl_was_events(spark, sf):
 
 
 def tl_uri_baseline_deviation(spark, sf):
-    """J2 baseline-ART broadcast join + deviation calc (sh:1010-1022)."""
+    """J2 baseline-ART broadcast join + deviation calc (sh:1010-1022).
+
+    URIs without a baseline keep the left-join miss inside the operator;
+    for the value-hash compare the null doubles are projected to a -999999
+    sentinel (NaN hashes unreliably across engines)."""
     from log_parser_spark.operators import aggregates as A
     from log_parser_spark.operators.enrich import baseline_deviation
     from log_parser_spark.operators.parse import parsed_family
@@ -500,16 +504,27 @@ def tl_uri_baseline_deviation(spark, sf):
 
     classified, d = _tokenlog(spark)
     access = parsed_family(classified, "access").filter(F.col("category") == "access")
-    return baseline_deviation(A.uri_stats(access), read_lookup(spark, d, "perf_baseline"))
+    out = baseline_deviation(A.uri_stats(access), read_lookup(spark, d, "perf_baseline"))
+    return out.na.fill(
+        -999999.0, ["baseline_art", "baseline_diff", "baseline_dev_pct"])
 
 
 def tl_txn_pairs(spark, sf):
-    """J4 stateful WTRN0006W⋈WTRN0124I pairing (websphereLogParser.sh:236-247)."""
+    """J4 stateful WTRN0006W⋈WTRN0124I as-of pairing in file order
+    (websphereLogParser.sh:236-247). Unmatched releases keep their row (the
+    reference prints empty fields); for hashability the nulls are projected
+    to ''/-1 sentinels."""
     from log_parser_spark.operators import aggregates as A
     from log_parser_spark.operators.parse import parsed_family
 
     classified, _ = _tokenlog(spark)
-    return A.txn_timeout_pairs(parsed_family(classified, "was"))
+    out = A.txn_timeout_pairs(parsed_family(classified, "was"))
+    return out.select(
+        "source", "thread",
+        F.coalesce("txn_id", F.lit("")).alias("txn_id"),
+        F.coalesce("timeout_s", F.lit(-1)).alias("timeout_s"),
+        "chtc",
+    )
 
 
 def tl_mpm_peak(spark, sf):
@@ -522,13 +537,22 @@ def tl_mpm_peak(spark, sf):
 
 
 def tl_sessionization(spark, sf):
-    """J5 login→logout session durations (sh:715-720,1273-1295)."""
+    """J5 login→logout session durations (sh:715-720,1273-1295).
+
+    Timestamps are projected to strings and duration to bigint so the
+    DuckDB oracle hash-compares cleanly (same trick as last_per_key)."""
     from log_parser_spark.operators import aggregates as A
     from log_parser_spark.operators.parse import parsed_family
 
     classified, _ = _tokenlog(spark)
     access = parsed_family(classified, "access").filter(F.col("category") == "access")
-    return A.sessionization(access)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return A.sessionization(access).select(
+        "clone_id", "jsession", "uid",
+        F.date_format("login_ts", fmt).alias("login_s"),
+        F.date_format("logout_ts", fmt).alias("logout_s"),
+        F.coalesce(F.col("duration_s").cast("long"), F.lit(-1).cast("long")).alias("duration_s"),
+    )
 
 
 def tl_top_slowest(spark, sf):
@@ -542,21 +566,34 @@ def tl_top_slowest(spark, sf):
 
 
 def tl_alerts(spark, sf):
-    """F9→S9 threshold alerts off the full report set."""
-    import tempfile
+    """F9→S9 threshold alerts built directly off the report aggregates —
+    no sink round-trip, so the driver's harness can hash it cheaply.
+    The `message` column is a format_string of scope+observed (driver-parity
+    risk on double→string rendering), so the comparable projection is
+    (metric, scope, observed, threshold)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators import alerts as AL
+    from log_parser_spark.operators.parse import parsed_family
+    from log_parser_spark.sources.token_table import read_lookup
 
-    from log_parser_spark.plans.pipeline import run_pipeline
-    from log_parser_spark.sources.atomic import AtomicTable
-
-    from log_parser_spark import datagen
-
-    d = datagen.ensure_dataset(0.001)
-    out = tempfile.mkdtemp(prefix="tl_alerts_")
-    run_pipeline(spark, d, out)
-    alerts = AtomicTable(f"{out}/alerts").read(spark)
-    if alerts is None:
-        return spark.createDataFrame([], "metric string, scope string, observed double")
-    return alerts
+    classified, d = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    was = parsed_family(classified, "was")
+    err = parsed_family(classified, "weberror")
+    gc = parsed_family(classified, "gc")
+    th = AL.thresholds_dict(read_lookup(spark, d, "thresholds"))
+    alerts = AL.build_alerts(
+        th,
+        daily=A.daily_rollup(access),
+        uri_agg=A.uri_stats(access),
+        server_err=A.weberror_counts_by_server(err),
+        mpm_peak=A.mpm_max_busy(err),
+        tto=A.tto_summary(was),
+        starv=A.starvation_summary(was),
+        hung=A.hung_thread_summary(was),
+        gc_daily=A.gc_daily_stats(gc),
+    )
+    return alerts.select("metric", "scope", "observed", "threshold")
 
 
 def q_minhash_lsh(spark, sf):
@@ -653,6 +690,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     ev_hr = "CAST(hour(ts) AS INTEGER)"
+    # The tl_* oracles read the deterministic tokenlog dataset (datagen
+    # seed=42, sf=0.001) that every tl_* Spark query uses. Materialize it
+    # here so the DuckDB side works even if it runs before the Spark side.
+    from log_parser_spark import datagen
+
+    ds = str(datagen.ensure_dataset(0.001))
+    truth = f"read_parquet('{ds}/truth.parquet/*.parquet')"  # chunked dir
+    baseline = f"read_parquet('{ds}/lookups/perf_baseline.parquet')"
+    thresholds = f"read_parquet('{ds}/lookups/thresholds.parquet')"
+    # access rows as routed+parsed: family detect hit AND not discarded/broken
+    acc = f"SELECT * FROM {truth} WHERE family = 'access' AND category = 'access'"
+    # F4 static-content exclusion (webAccessLogParser.sh:742)
+    xcl = (
+        "(a_status = 304"
+        " OR regexp_matches(a_ext, '^(jpg|gif|png|ico|js|css|woff|swf|jar|htm|html|txt)$')"
+        " OR regexp_matches(a_uri_path, '(\\.css\\.xhtml$|\\.js\\.xhtml$|\\.png\\.xhtml$|\\.gif\\.xhtml$)')"
+        " OR regexp_matches(a_params, 'WilyCmd=cmdMetrics'))"
+    )
+    # P8 response-time bucket counts r1..r5 (inclusive upper bounds)
+    def rngs(col: str, guard: str = "TRUE") -> str:
+        bounds = ["{c} <= 1.0", "{c} > 1.0 AND {c} <= 5.0", "{c} > 5.0 AND {c} <= 10.0",
+                  "{c} > 10.0 AND {c} <= 20.0", "{c} > 20.0"]
+        return ", ".join(
+            f"CAST(SUM(CASE WHEN {guard} AND {b.format(c=col)} THEN 1 ELSE 0 END) AS BIGINT) AS r{i+1}_cnt"
+            for i, b in enumerate(bounds)
+        )
+
+    # epoch seconds of an access event in UTC (raw stamps carry -0400)
+    acc_epoch = "(CAST(floor(epoch(strptime(event_date, '%Y-%m-%d'))) AS BIGINT) + secs + 14400)"
     return {
         "status_counts": """
             SELECT event_type, COUNT(*) AS cnt,
@@ -915,5 +981,221 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, COUNT(*) AS cnt,
                    ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_x0
             FROM embeddings GROUP BY label
+        """,
+        # ------------------------------------------------------------ tl_*
+        # Tokenlog-pipeline oracles over the SAME deterministic dataset's
+        # truth.parquet — independent recomputation of what the Spark side
+        # derives from the detokenized+grokked token table.
+        "tl_sink_counts": f"""
+            SELECT category, COUNT(*) AS cnt FROM {truth} GROUP BY category
+        """,
+        "tl_status_counts": f"""
+            SELECT CAST(a_status AS INTEGER) AS status, COUNT(*) AS cnt,
+                   ROUND(COUNT(*) / (SUM(COUNT(*)) OVER ()) * 100.0, 2) AS pct
+            FROM ({acc}) GROUP BY 1
+        """,
+        "tl_hourly_stats": f"""
+            WITH agg AS (
+                SELECT hour, COUNT(*) AS cnt_incl,
+                       CAST(SUM(CASE WHEN NOT {xcl} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_xcl,
+                       ROUND(SUM(CASE WHEN NOT {xcl} THEN a_rt ELSE 0.0 END), 6) AS sum_rt_xcl,
+                       COUNT(DISTINCT a_uid) AS uuc,
+                       {rngs('a_rt', 'NOT ' + xcl)}
+                FROM ({acc}) GROUP BY hour)
+            SELECT CAST(h.hour AS INTEGER) AS hour,
+                   COALESCE(cnt_incl, 0) AS cnt_incl,
+                   COALESCE(cnt_xcl, 0) AS cnt_xcl,
+                   COALESCE(sum_rt_xcl, 0.0) AS sum_rt_xcl,
+                   COALESCE(uuc, 0) AS uuc,
+                   COALESCE(r1_cnt, 0) AS r1_cnt, COALESCE(r2_cnt, 0) AS r2_cnt,
+                   COALESCE(r3_cnt, 0) AS r3_cnt, COALESCE(r4_cnt, 0) AS r4_cnt,
+                   COALESCE(r5_cnt, 0) AS r5_cnt,
+                   CASE WHEN COALESCE(cnt_xcl, 0) > 0
+                        THEN ROUND(sum_rt_xcl / cnt_xcl, 6) ELSE 0.0 END AS art
+            FROM generate_series(0, 23) AS h(hour)
+            LEFT JOIN agg ON agg.hour = h.hour
+        """,
+        "tl_gc_daily": f"""
+            WITH b AS (
+                SELECT source AS jvm, event_date,
+                       CAST(SUM(CASE WHEN g_type = 'GC' THEN 1 ELSE 0 END) AS BIGINT) AS gc_cnt,
+                       CAST(SUM(CASE WHEN g_type = 'FULLGC' THEN 1 ELSE 0 END) AS BIGINT) AS fgc_cnt,
+                       CAST(SUM(CASE WHEN g_type = 'FULLGC_SYS' THEN 1 ELSE 0 END) AS BIGINT) AS fgc_sys_cnt,
+                       ROUND(SUM(CASE WHEN g_type = 'GC' THEN g_real ELSE 0.0 END), 2) AS gc_real_s,
+                       ROUND(SUM(CASE WHEN g_type <> 'GC' THEN g_real ELSE 0.0 END), 2) AS fgc_real_s
+                FROM {truth} WHERE family = 'gc' GROUP BY 1, 2)
+            SELECT jvm, event_date, gc_cnt, fgc_cnt, fgc_sys_cnt, gc_real_s, fgc_real_s,
+                   CASE WHEN gc_cnt > 0 THEN ROUND(gc_real_s / gc_cnt, 4) ELSE 0.0 END AS avg_gc_real_s,
+                   CASE WHEN fgc_cnt + fgc_sys_cnt > 0
+                        THEN ROUND(fgc_real_s / (fgc_cnt + fgc_sys_cnt), 4) ELSE 0.0 END AS avg_fgc_real_s
+            FROM b
+        """,
+        "tl_was_events": f"""
+            SELECT source, w_evt AS evt, COUNT(*) AS cnt
+            FROM {truth} WHERE family = 'was' GROUP BY 1, 2
+        """,
+        "tl_uri_baseline_deviation": f"""
+            WITH u AS (
+                SELECT a_uri_path AS uri, COUNT(*) AS cnt,
+                       ROUND(SUM(a_rt), 6) AS sum_rt, ROUND(AVG(a_rt), 6) AS art,
+                       MIN(a_rt) AS min_rt, MAX(a_rt) AS max_rt,
+                       {rngs('a_rt')}
+                FROM ({acc}) GROUP BY 1)
+            SELECT u.uri, u.cnt, u.sum_rt, u.art, u.min_rt, u.max_rt,
+                   u.r1_cnt, u.r2_cnt, u.r3_cnt, u.r4_cnt, u.r5_cnt,
+                   COALESCE(b.baseline_art, -999999.0) AS baseline_art,
+                   COALESCE(ROUND(u.art - b.baseline_art, 6), -999999.0) AS baseline_diff,
+                   COALESCE(CASE WHEN b.baseline_art IS NOT NULL AND b.baseline_art <> 0
+                        THEN ROUND((u.art - b.baseline_art) / b.baseline_art * 100.0, 2)
+                   END, -999999.0) AS baseline_dev_pct
+            FROM u LEFT JOIN {baseline} b ON u.uri = b.uri
+        """,
+        "tl_txn_pairs": f"""
+            WITH ev AS (
+                SELECT source, w_thread AS thread, w_subtype, doc_id,
+                       CASE WHEN w_subtype = 'tto' THEN w_txn_id END AS t_txn,
+                       CASE WHEN w_subtype = 'tto' THEN CAST(w_timeout_s AS INTEGER) END AS t_to,
+                       CAST(w_chtc AS INTEGER) AS chtc
+                FROM {truth} WHERE family = 'was' AND w_subtype IN ('tto', 'tto_rel'))
+            SELECT source, thread,
+                   COALESCE(last_value(t_txn IGNORE NULLS) OVER w, '') AS txn_id,
+                   COALESCE(last_value(t_to IGNORE NULLS) OVER w, -1) AS timeout_s,
+                   chtc
+            FROM ev
+            WINDOW w AS (PARTITION BY source, thread ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            QUALIFY w_subtype = 'tto_rel'
+        """,
+        "tl_mpm_peak": f"""
+            WITH m AS (
+                SELECT source, event_date,
+                       printf('%02d:%02d:%02d', secs // 3600, (secs % 3600) // 60, secs % 60) AS time,
+                       CAST(e_rdy AS INTEGER) AS rdy, CAST(e_bsy AS INTEGER) AS bsy,
+                       CAST(e_rd AS INTEGER) AS rd, CAST(e_wr AS INTEGER) AS wr,
+                       CAST(e_ka AS INTEGER) AS ka
+                FROM {truth} WHERE family = 'weberror' AND e_subtype = 'mpm_global')
+            SELECT source AS web_server, event_date, time, rdy, bsy, rd, wr, ka
+            FROM m
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY bsy DESC, time DESC) = 1
+        """,
+        "tl_sessionization": f"""
+            WITH s AS (
+                SELECT a_clone_id AS clone_id, a_jsession AS jsession, a_uid AS uid,
+                       a_is_login AS il, a_is_logout AS ol, {acc_epoch} AS e
+                FROM ({acc})
+                WHERE a_jsession <> '-' AND (a_is_login OR a_is_logout)),
+            g AS (
+                SELECT clone_id, jsession, uid,
+                       MIN(CASE WHEN il THEN e END) AS le,
+                       MAX(CASE WHEN ol THEN e END) AS oe
+                FROM s GROUP BY 1, 2, 3)
+            SELECT clone_id, jsession, uid,
+                   strftime(make_timestamp(le * 1000000), '%Y-%m-%d %H:%M:%S') AS login_s,
+                   strftime(make_timestamp(oe * 1000000), '%Y-%m-%d %H:%M:%S') AS logout_s,
+                   COALESCE(CASE WHEN le IS NOT NULL AND oe IS NOT NULL AND oe >= le
+                        THEN oe - le END, -1) AS duration_s
+            FROM g
+        """,
+        "tl_top_slowest": f"""
+            SELECT doc_id, source, a_uri_path AS uri_path, a_uid AS uid,
+                   CAST(a_status AS INTEGER) AS status, a_rt AS rt,
+                   CAST(hour AS INTEGER) AS hour
+            FROM ({acc}) ORDER BY a_rt DESC, doc_id ASC LIMIT 10
+        """,
+        "tl_alerts": f"""
+            WITH th AS (SELECT property, target, MAX(value) AS value
+                        FROM {thresholds} GROUP BY 1, 2),
+            a AS ({acc}),
+            daily AS (
+                SELECT CASE WHEN SUM(CASE WHEN NOT {xcl} THEN 1 ELSE 0 END) > 0
+                            THEN ROUND(ROUND(SUM(CASE WHEN NOT {xcl} THEN a_rt ELSE 0.0 END), 6)
+                                       / SUM(CASE WHEN NOT {xcl} THEN 1 ELSE 0 END), 6)
+                            ELSE 0.0 END AS art
+                FROM a),
+            uri AS (SELECT a_uri_path AS uri, ROUND(AVG(a_rt), 6) AS art FROM a GROUP BY 1),
+            err AS (SELECT source, COUNT(*) AS err_cnt FROM {truth}
+                    WHERE family = 'weberror' AND e_subtype = 'client_err' GROUP BY 1),
+            mpm AS (SELECT source, CAST(e_bsy AS INTEGER) AS bsy,
+                           printf('%02d:%02d:%02d', secs // 3600, (secs % 3600) // 60, secs % 60) AS tm
+                    FROM {truth} WHERE family = 'weberror' AND e_subtype = 'mpm_global'
+                    QUALIFY row_number() OVER (PARTITION BY source ORDER BY e_bsy DESC, tm DESC) = 1),
+            was AS (SELECT * FROM {truth} WHERE family = 'was'),
+            tto AS (SELECT source AS jvm, COUNT(*) AS tto_cnt FROM was
+                    WHERE w_subtype = 'tto' GROUP BY 1),
+            starv AS (SELECT source AS jvm, COUNT(*) AS starv_cnt FROM was
+                      WHERE w_subtype = 'starv' GROUP BY 1),
+            hung AS (SELECT source AS jvm,
+                            CAST(SUM(CASE WHEN w_code = 'WSVR0605W' THEN 1 ELSE 0 END) AS BIGINT) AS nhtc
+                     FROM was WHERE w_code IN ('WSVR0605W', 'WSVR0606W') GROUP BY 1),
+            gcd AS (SELECT source AS jvm, event_date,
+                           CAST(SUM(CASE WHEN g_type = 'GC' THEN 1 ELSE 0 END) AS BIGINT) AS gc_cnt,
+                           CAST(SUM(CASE WHEN g_type = 'FULLGC' THEN 1 ELSE 0 END) AS BIGINT) AS fgc_cnt
+                    FROM {truth} WHERE family = 'gc' GROUP BY 1, 2)
+            SELECT 'httpAvgRespTimeTh' AS metric, 'daily' AS scope,
+                   CAST(art AS DOUBLE) AS observed,
+                   (SELECT value FROM th WHERE property = 'httpAvgRespTimeTh' AND target = 'http') AS threshold
+            FROM daily WHERE art > (SELECT value FROM th WHERE property = 'httpAvgRespTimeTh' AND target = 'http')
+            UNION ALL
+            SELECT 'httpAvgRespTimeByTranTh', uri, CAST(art AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'httpAvgRespTimeByTranTh' AND target = 'http')
+            FROM uri WHERE art > (SELECT value FROM th WHERE property = 'httpAvgRespTimeByTranTh' AND target = 'http')
+            UNION ALL
+            SELECT 'httpErrorCountTh', source, CAST(err_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'httpErrorCountTh' AND target = 'http.err')
+            FROM err WHERE err_cnt > (SELECT value FROM th WHERE property = 'httpErrorCountTh' AND target = 'http.err')
+            UNION ALL
+            SELECT 'httpMpmStBsyCountTh', source, CAST(bsy AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'httpMpmStBsyCountTh' AND target = 'http.mpmstat')
+            FROM mpm WHERE bsy > (SELECT value FROM th WHERE property = 'httpMpmStBsyCountTh' AND target = 'http.mpmstat')
+            UNION ALL
+            SELECT 'wasTranTmOutCntTh', jvm, CAST(tto_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'wasTranTmOutCntTh' AND target = 'was.App')
+            FROM tto WHERE jvm LIKE 'wasprod%'
+              AND tto_cnt > (SELECT value FROM th WHERE property = 'wasTranTmOutCntTh' AND target = 'was.App')
+            UNION ALL
+            SELECT 'wasTranTmOutCntTh', jvm, CAST(tto_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'wasTranTmOutCntTh' AND target = 'was.Bat')
+            FROM tto WHERE jvm LIKE 'wasbat%'
+              AND tto_cnt > (SELECT value FROM th WHERE property = 'wasTranTmOutCntTh' AND target = 'was.Bat')
+            UNION ALL
+            SELECT 'wasCPUStarvCntTh', jvm, CAST(starv_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'wasCPUStarvCntTh' AND target = 'was.App')
+            FROM starv WHERE jvm LIKE 'wasprod%'
+              AND starv_cnt > (SELECT value FROM th WHERE property = 'wasCPUStarvCntTh' AND target = 'was.App')
+            UNION ALL
+            SELECT 'wasCPUStarvCntTh', jvm, CAST(starv_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'wasCPUStarvCntTh' AND target = 'was.Bat')
+            FROM starv WHERE jvm LIKE 'wasbat%'
+              AND starv_cnt > (SELECT value FROM th WHERE property = 'wasCPUStarvCntTh' AND target = 'was.Bat')
+            UNION ALL
+            SELECT 'wasHungThrdCntTh', jvm, CAST(nhtc AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'wasHungThrdCntTh' AND target = 'was.App')
+            FROM hung WHERE jvm LIKE 'wasprod%'
+              AND nhtc > (SELECT value FROM th WHERE property = 'wasHungThrdCntTh' AND target = 'was.App')
+            UNION ALL
+            SELECT 'wasHungThrdCntTh', jvm, CAST(nhtc AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'wasHungThrdCntTh' AND target = 'was.Bat')
+            FROM hung WHERE jvm LIKE 'wasbat%'
+              AND nhtc > (SELECT value FROM th WHERE property = 'wasHungThrdCntTh' AND target = 'was.Bat')
+            UNION ALL
+            SELECT 'gcDlyCountTh', jvm, CAST(gc_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'gcDlyCountTh' AND target = 'jvm.App')
+            FROM gcd WHERE jvm LIKE 'jvmapp%'
+              AND gc_cnt > (SELECT value FROM th WHERE property = 'gcDlyCountTh' AND target = 'jvm.App')
+            UNION ALL
+            SELECT 'gcDlyCountTh', jvm, CAST(gc_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'gcDlyCountTh' AND target = 'jvm.Bat')
+            FROM gcd WHERE jvm LIKE 'jvmbat%'
+              AND gc_cnt > (SELECT value FROM th WHERE property = 'gcDlyCountTh' AND target = 'jvm.Bat')
+            UNION ALL
+            SELECT 'fgcDlyCountTh', jvm, CAST(fgc_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'fgcDlyCountTh' AND target = 'jvm.App')
+            FROM gcd WHERE jvm LIKE 'jvmapp%'
+              AND fgc_cnt > (SELECT value FROM th WHERE property = 'fgcDlyCountTh' AND target = 'jvm.App')
+            UNION ALL
+            SELECT 'fgcDlyCountTh', jvm, CAST(fgc_cnt AS DOUBLE),
+                   (SELECT value FROM th WHERE property = 'fgcDlyCountTh' AND target = 'jvm.Bat')
+            FROM gcd WHERE jvm LIKE 'jvmbat%'
+              AND fgc_cnt > (SELECT value FROM th WHERE property = 'fgcDlyCountTh' AND target = 'jvm.Bat')
         """,
     }

@@ -331,6 +331,7 @@ def _gen_access(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "category": category,
             "event_date": date,
             "hour": secs // 3600,
+            "secs": secs,
             "a_host": host,
             "a_method": method,
             "a_rawmethod": rawmethod,
@@ -480,6 +481,7 @@ def _gen_was(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "category": category,
             "event_date": date,
             "hour": hh,
+            "secs": secs,
             "w_evt": evt,
             "w_subtype": subtype,
             "w_thread": thread,
@@ -587,6 +589,7 @@ def _gen_weberror(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "category": category,
             "event_date": date,
             "hour": secs // 3600,
+            "secs": secs,
             "e_level": level,
             "e_subtype": subtype,
             "e_client": np.where(subtype == "client_err", client, ""),
@@ -694,6 +697,7 @@ def _gen_gc(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "category": "audit",
             "event_date": date,
             "hour": secs // 3600,
+            "secs": secs,
             "g_type": gc_type,
             "g_secs": secs_gc,
             "g_real": real,
@@ -734,6 +738,7 @@ def _gen_garbage(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "category": "unmatched",
             "event_date": MAIN_DATE,
             "hour": 0,
+            "secs": 0,
         }
     )
 

@@ -391,31 +391,37 @@ def starvation_summary(was: DataFrame) -> DataFrame:
 
 
 def txn_timeout_pairs(was: DataFrame) -> DataFrame:
-    """J4: stateful WTRN0006W/WTRN0124I pairing -> self-join on (source, thread)
-    (websphereLogParser.sh:236-247).
+    """J4: stateful WTRN0006W/WTRN0124I pairing (websphereLogParser.sh:236-247).
 
-    The reference stores arr[server|threadId] = (timeout, txnId) at the
-    WTRN0006W line and emits the STORED values when WTRN0124I arrives on the
-    same key — it never compares txn ids. Re-expressed as: latest timeout
-    row per (source, thread) joined to each release row on that key."""
-    # WAS `time` is H:MM:SS with unpadded hour — order on numeric seconds
-    secs = (
-        F.col("hour") * 3600
-        + F.split("time", ":").getItem(1).cast("int") * 60
-        + F.split("time", ":").getItem(2).cast("int")
+    The reference awk overwrites arrTto[server|threadId] = (timeout, txnId)
+    at each WTRN0006W in FILE ORDER and prints the stored values — possibly
+    empty — when WTRN0124I arrives on the same key. Re-expressed Spark-first
+    as an as-of over one window: partition by (source, thread), order by file
+    position (doc_id encodes it), take the last non-null timeout at-or-before
+    each release. Unmatched releases are KEPT with null fields, matching the
+    reference's empty prints. One shuffle over the tiny WTRN subset.
+    """
+    ev = was.filter(F.col("msg_code").isin("WTRN0006W", "WTRN0124I"))
+    w = (
+        Window.partitionBy("source", "thread")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w = Window.partitionBy("source", "thread").orderBy(
-        F.desc("event_date"), secs.desc(), F.desc("doc_id"))
-    tto = (
-        was.filter(F.col("msg_code") == "WTRN0006W")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("source", "thread", "txn_id", "timeout_s")
+    is_tto = F.col("msg_code") == "WTRN0006W"
+    return (
+        ev.withColumn(
+            "p_txn", F.last(F.when(is_tto, F.col("txn_id")), ignorenulls=True).over(w))
+        .withColumn(
+            "p_to", F.last(F.when(is_tto, F.col("timeout_s")), ignorenulls=True).over(w))
+        .filter(F.col("msg_code") == "WTRN0124I")
+        .select(
+            "source", "thread",
+            F.col("p_txn").alias("txn_id"),
+            F.col("p_to").alias("timeout_s"),
+            "chtc",
+        )
+        .orderBy("source", "thread", "txn_id")
     )
-    rel = was.filter(F.col("msg_code") == "WTRN0124I").select(
-        "source", "thread", F.col("chtc"))
-    return tto.join(rel, ["source", "thread"], "inner").orderBy(
-        "source", "thread", "txn_id")
 
 
 def filtered_error_counts(was: DataFrame, custom_filter: DataFrame) -> DataFrame:

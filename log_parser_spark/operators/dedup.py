@@ -70,34 +70,56 @@ def word_ngrams(col, n: int = 3):
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard >= threshold.
 
     Candidate generation via inverted index (explode distinct n-grams,
     self-join on n-gram) so only docs sharing at least one n-gram are
-    compared — the all-pairs product never materializes.
+    compared — the all-pairs product never materializes. Verification
+    computes the EXACT Jaccard from the full gram arrays, so candidate
+    pruning never perturbs a surviving pair's score.
+
+    ``max_df`` is the 100-TB guard: grams appearing in more than ``max_df``
+    docs (boilerplate / stopword runs) are dropped from the INDEX ONLY —
+    without it one hot gram makes the candidate self-join quadratic on its
+    posting list. Pairs that share only hot grams are missed (by design;
+    route such corpora through MinHash-LSH); every pair sharing >=1 rare
+    gram is still scored exactly.
     """
     grams = docs.select(
         "doc_id",
         F.array_distinct(word_ngrams(F.col("text"), n)).alias("grams"),
-    ).withColumn("n_grams", F.size("grams"))
+    )
+    inv = grams.select("doc_id", F.explode("grams").alias("g"))
+    if max_df is not None:
+        keep = inv.groupBy("g").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= max_df).select("g")
+        inv = inv.join(keep, "g")
 
-    inv = grams.select("doc_id", "n_grams", F.explode("grams").alias("g"))
-    a = inv.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"), "g")
-    b = inv.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"), "g")
-    common = (
+    a = inv.select(F.col("doc_id").alias("id_a"), "g")
+    b = inv.select(F.col("doc_id").alias("id_b"), "g")
+    cands = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("common"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = common.withColumn(
-        "jaccard",
-        F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    return (
+        cands.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.size("ga") + F.size("gb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
-    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------- MinHash/LSH
@@ -269,16 +291,46 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _block_spec(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) per block, widths differing by at most 1."""
+    base, rem = divmod(n_bits, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    offs, acc = [], 0
+    for w in widths:
+        offs.append(acc)
+        acc += w
+    return list(zip(offs, widths))
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by the top-16
-    bits so candidate joins stay local (scale path: multi-table bit-block
-    indexing a la public SimHash dedup pipelines)."""
-    sh = simhash(docs).withColumn("block", F.shiftright(F.col("simhash"), 48))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "block")
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "block")
+    """ALL pairs with SimHash hamming distance <= max_hamming, via pigeonhole
+    multi-block indexing: the 64 bits split into ``max_hamming + 1`` blocks,
+    so any pair within distance max_hamming agrees EXACTLY on at least one
+    block (the classic Manku/Jarvelin scheme) — recall 1.0 by construction,
+    never an all-pairs join. Candidate volume is bounded by the per-block
+    bucket sizes; the hamming filter then verifies exactly.
+
+    (The round-1 version bucketed on ONE 16-bit block and silently missed
+    any pair whose differing bits touched bits 48-63.)"""
+    n_blocks = max_hamming + 1
+    sh = simhash(docs)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+        )
+        for i, (off, width) in enumerate(_block_spec(64, n_blocks))
+    ])
+    ex = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
     return (
-        a.join(b, "block")
+        a.join(b, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -120,6 +120,10 @@ def resize(media: DataFrame, width: int = 224, height: int = 224,
             out_payload = []
             for b in pdf["payload"]:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    # linspace(0, -1) would index an empty array negatively
+                    out_payload.append(bytearray(target))  # zero-filled
+                    continue
                 idx = np.linspace(0, len(arr) - 1, num=target).astype(np.int64)
                 out_payload.append(bytearray(arr[idx].tobytes()))
             yield pd.DataFrame(

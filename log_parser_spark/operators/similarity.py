@@ -100,7 +100,9 @@ def lsh_knn(
     recall vs the brute-force baseline rather than asserting equality.
     """
     if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
+        # Array columns carry no length in the schema and an operator must
+        # not run driver actions (.first()) to sniff one — require it.
+        raise ValueError("lsh_knn requires `dim` explicitly (e.g. dim=64)")
     emb_d = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

@@ -174,21 +174,33 @@ def test_was_event_counts(was_df, t_was):
 
 
 def test_txn_pairs(was_df, t_was):
-    """Reference semantics (websphereLogParser.sh:236-247): WTRN0124I emits
-    the STORED WTRN0006W values for its (server, thread) key — one output
-    row per release whose key has at least one timeout; txn ids are carried
-    from the stored timeout row, never compared."""
+    """Reference semantics (websphereLogParser.sh:236-247): arrTto is
+    overwritten at each WTRN0006W in FILE ORDER; WTRN0124I emits the stored
+    values AT THAT POINT (empty when no timeout preceded it) — an as-of in
+    file order, not a join to the globally-latest timeout. Oracle: pandas
+    replay in doc_id (file-position) order."""
     got = A.txn_timeout_pairs(was_df).toPandas()
-    tto = t_was[t_was.w_subtype == "tto"][["source", "w_thread", "w_txn_id"]]
-    rel = t_was[t_was.w_subtype == "tto_rel"][["source", "w_thread"]]
-    tto_keys = set(map(tuple, tto[["source", "w_thread"]].values))
-    exp_rows = sum(1 for k in map(tuple, rel.values) if k in tto_keys)
-    assert len(got) == exp_rows
-    # every emitted txn_id belongs to a real timeout on the same key
-    valid = set(map(tuple, tto.values))
-    assert all(
-        (r.source, r.thread, r.txn_id) in valid for r in got.itertuples()
+    ev = t_was[t_was.w_subtype.isin(["tto", "tto_rel"])].sort_values("doc_id")
+    stored: dict[tuple, tuple] = {}
+    exp = []
+    for r in ev.itertuples():
+        key = (r.source, r.w_thread)
+        if r.w_subtype == "tto":
+            stored[key] = (r.w_txn_id, r.w_timeout_s)
+        else:
+            txn, to = stored.get(key, (None, None))
+            exp.append((r.source, r.w_thread, txn, to))
+    assert len(got) == len(exp)
+    got_rows = sorted(
+        (r.source, r.thread,
+         None if pd.isna(r.txn_id) else r.txn_id,
+         None if pd.isna(r.timeout_s) else int(r.timeout_s))
+        for r in got.itertuples()
     )
+    exp_rows = sorted(
+        (s, t, txn, None if to is None else int(to)) for s, t, txn, to in exp
+    )
+    assert got_rows == exp_rows
 
 
 def test_mpm_peak(err_df, truth):

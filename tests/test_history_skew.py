@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from log_parser_spark.plans.pipeline import run_pipeline
+from log_parser_spark.plans.pipeline import read_report, run_pipeline
 from log_parser_spark.sources.atomic import AtomicTable
 
 
@@ -27,7 +27,7 @@ def test_history_appends_across_days(spark, dataset_dir, tmp_path, truth):
     assert res2.sink_counts == res1.sink_counts
 
     # Report values for day 2 must match the single-copy truth.
-    sc = AtomicTable(out / "reports/status_counts").read_txid(spark, "2015-06-12")
+    sc = read_report(spark, out, "status_counts", txid="2015-06-12")
     got = sum(r["cnt"] for r in sc.collect())
     exp = int(((truth.category == "access") & (truth.event_date == "2015-06-12")).sum())
     assert got == exp

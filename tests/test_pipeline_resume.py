@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from log_parser_spark.plans.pipeline import run_pipeline
+from log_parser_spark.plans.pipeline import read_report, run_pipeline
 from log_parser_spark.sources.atomic import AtomicTable
 
 
@@ -32,7 +32,7 @@ def test_pipeline_runs_and_routes(spark, dataset_dir, truth, tmp_path):
     assert tot["c"] == exp["unmatched"]
 
     # some reports materialized
-    sc = AtomicTable(tmp_path / "out" / "reports/status_counts").read(spark)
+    sc = read_report(spark, tmp_path / "out", "status_counts")
     assert sc.count() > 0
 
     # north-rule invariant: token-array equality per routed row, via the
