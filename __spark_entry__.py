@@ -592,6 +592,7 @@ def tl_alerts(spark, sf):
         starv=A.starvation_summary(was),
         hung=A.hung_thread_summary(was),
         gc_daily=A.gc_daily_stats(gc),
+        maxclients=err.filter(F.col("subtype") == "maxclients"),
     )
     return alerts.select("metric", "scope", "observed", "threshold")
 
@@ -1197,5 +1198,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT value FROM th WHERE property = 'fgcDlyCountTh' AND target = 'jvm.Bat')
             FROM gcd WHERE jvm LIKE 'jvmbat%'
               AND fgc_cnt > (SELECT value FROM th WHERE property = 'fgcDlyCountTh' AND target = 'jvm.Bat')
+            UNION ALL
+            SELECT 'httpApproachMaxClients', source,
+                   CAST(e_mc_cur AS DOUBLE), CAST(e_mc_max AS DOUBLE)
+            FROM {truth} WHERE family = 'weberror' AND e_subtype = 'maxclients'
         """,
     }

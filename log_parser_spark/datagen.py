@@ -595,6 +595,8 @@ def _gen_weberror(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "e_client": np.where(subtype == "client_err", client, ""),
             "e_errmsg": np.where(subtype == "client_err", emsg, ""),
             "e_referer": np.where(subtype == "client_err", referer, ""),
+            "e_mc_cur": np.where(subtype == "maxclients", cur, 0),
+            "e_mc_max": np.where(subtype == "maxclients", 600, 0),
             "e_rdy": np.where(subtype == "mpm_global", rdy, 0),
             "e_bsy": np.where(subtype == "mpm_global", bsy, 0),
             "e_rd": np.where(subtype == "mpm_global", rd, 0),

@@ -87,6 +87,78 @@ def distinct_sessions(access: DataFrame) -> DataFrame:
     )
 
 
+def sessions_per_hour(access: DataFrame) -> DataFrame:
+    """A4 (hourly): distinct jsession per hour (webAccessLogParser.sh:700-701;
+    hourly arrays keyed (hour, jsession), emitted :1047-1058). All 24 hours
+    emit a row (0 when quiet), matching the fixed-width hourly report."""
+    agg = (
+        access.filter(F.col("jsession") != "-")
+        .groupBy("hour")
+        .agg(F.countDistinct("jsession").alias("jsc"))
+    )
+    hours = access.sparkSession.createDataFrame([(h,) for h in range(24)], "hour int")
+    return hours.join(agg, "hour", "left").na.fill(0).orderBy("hour")
+
+
+def domain_hour_sessions(access: DataFrame) -> DataFrame:
+    """A15 (session half): domain x hour distinct-session pivot
+    (webAccessLogParser.sh:702,916-934 arrHrljSessDmn/arrHrlDmnBySess)."""
+    return (
+        access.filter(F.col("jsession") != "-")
+        .groupBy("domain")
+        .pivot("hour", list(range(24)))
+        .agg(F.countDistinct("jsession"))
+        .na.fill(0)
+        .orderBy("domain")
+    )
+
+
+def domain_daily_summary(access: DataFrame) -> DataFrame:
+    """A15 (daily): per-domain uuc (distinct uid) + usc (distinct
+    clone+session — clone-qualified like the reference's arrDlyjSessDmn)
+    (webAccessLogParser.sh:705-707,1241-1266)."""
+    return (
+        access.groupBy("domain")
+        .agg(
+            F.countDistinct("uid").alias("uuc"),
+            F.countDistinct(
+                F.when(F.col("jsession") != "-", F.struct("clone_id", "jsession"))
+            ).alias("usc"),
+        )
+        .orderBy("domain")
+    )
+
+
+def whereuid_sessions(access: DataFrame, clone_map: DataFrame) -> DataFrame:
+    """'Where the user is' report (webAccessLogParser.sh:715-720,1273-1295):
+    per (web_server, was, clone_id, jsession, uid) the LAST login time, LAST
+    logout time (or null, printed 'na' by the reference) and their diff.
+    AWK overwrite semantics -> max_by on file position (doc_id)."""
+    from .enrich import enrich_clone
+
+    login = F.col("uri_path").endswith("loginRoleSelect.xhtml")
+    logout = F.col("params").contains("logout=true")
+    ts = F.to_timestamp(F.col("ts_raw"), P.ACCESS_TS_FMT)
+    df = enrich_clone(
+        access.filter(F.col("jsession") != "-").filter(login | logout), clone_map
+    )
+    return (
+        df.groupBy(
+            F.col("source").alias("web_server"), "was_server",
+            "clone_id", "jsession", "uid",
+        )
+        .agg(
+            F.max_by(ts, F.when(login, F.col("doc_id"))).alias("start_ts"),
+            F.max_by(ts, F.when(logout, F.col("doc_id"))).alias("end_ts"),
+        )
+        .filter(F.col("start_ts").isNotNull())
+        .withColumn(
+            "diff_s", F.col("end_ts").cast("long") - F.col("start_ts").cast("long")
+        )
+        .orderBy("web_server", "clone_id", "jsession", "uid")
+    )
+
+
 def sessions_per_server(access: DataFrame) -> DataFrame:
     """A4 per-WS variant: distinct sessions per web server
     (webAccessLogParser.sh:1047-1058)."""
@@ -424,6 +496,17 @@ def txn_timeout_pairs(was: DataFrame) -> DataFrame:
     )
 
 
+def was_recycles(was: DataFrame) -> DataFrame:
+    """WAS recycle (server-start) events — one history row per event
+    (websphereLogParser.sh:70-73,253: 'open for e-business' appends
+    date|time|jvm to RecycleHistoryRpt_all.csv in daily mode)."""
+    return (
+        was.filter(F.col("msg_code") == "WSVR0001I")
+        .select("event_date", "time", F.col("source").alias("jvm"))
+        .orderBy("event_date", "jvm", "time")
+    )
+
+
 def filtered_error_counts(was: DataFrame, custom_filter: DataFrame) -> DataFrame:
     """F2+A19: custom-keyword filter hits, counted per (source, normalized msg)
     (websphereLogParser.sh:100,118-123,634-647).
@@ -553,6 +636,30 @@ def gc_daily_stats(gc: DataFrame) -> DataFrame:
             ).otherwise(0.0),
         )
         .orderBy("jvm", "event_date")
+    )
+
+
+def gc_event_metrics(gc: DataFrame) -> DataFrame:
+    """P17: per-event before-after diffs and %-of-total columns
+    (javaGCStatsParser.sh:406-445). Missing generations (minor GC has no
+    old/perm figures) propagate null, matching the reference's empty
+    fields; zero totals guard the percentage like the awk does."""
+
+    def pct(after, total):
+        return F.when(
+            total.isNotNull() & (total != 0), F.round(after / total * 100.0, 4)
+        )
+
+    return gc.select(
+        "source", "event_date", "ts_raw", "gc_type",
+        (F.col("young_before_kb") - F.col("young_after_kb")).alias("yng_diff_kb"),
+        pct(F.col("young_after_kb"), F.col("young_total_kb")).alias("yng_after_pct"),
+        (F.col("old_before_kb") - F.col("old_after_kb")).alias("old_diff_kb"),
+        pct(F.col("old_after_kb"), F.col("old_total_kb")).alias("old_after_pct"),
+        (F.col("perm_before_kb") - F.col("perm_after_kb")).alias("prm_diff_kb"),
+        pct(F.col("perm_after_kb"), F.col("perm_total_kb")).alias("prm_after_pct"),
+        (F.col("heap_before_kb") - F.col("heap_after_kb")).alias("hp_diff_kb"),
+        pct(F.col("heap_after_kb"), F.col("heap_total_kb")).alias("hp_after_pct"),
     )
 
 

@@ -53,9 +53,29 @@ def build_alerts(
     hung: DataFrame | None = None,
     gc_daily: DataFrame | None = None,
     route_meta: DataFrame | None = None,
+    maxclients: DataFrame | None = None,
 ) -> DataFrame | None:
     """Union all violation families present. Any input may be None."""
     parts: list[DataFrame] = []
+
+    if maxclients is not None:
+        # webErrorLogParser.sh:243-247: EVERY 'approaching MaxClients' line
+        # goes straight to the alert file — no threshold config involved;
+        # the observed/limit pair comes from the event itself.
+        parts.append(
+            maxclients.select(
+                F.lit("httpApproachMaxClients").alias("metric"),
+                F.col("source").cast("string").alias("scope"),
+                F.col("maxclients_cur").cast("double").alias("observed"),
+                F.col("maxclients_max").cast("double").alias("threshold"),
+                F.format_string(
+                    "server %s approaching MaxClients (%s/%s)",
+                    F.col("source"),
+                    F.col("maxclients_cur").cast("string"),
+                    F.col("maxclients_max").cast("string"),
+                ).alias("message"),
+            )
+        )
 
     if daily is not None:
         t = th.get(("httpAvgRespTimeTh", "http"), 2.5)

@@ -120,9 +120,16 @@ def _access_reports(access: DataFrame, lookups: dict) -> dict[str, DataFrame]:
         "errors_by_uri": A.errors_by_uri(access),
         "domain_hour_users": A.domain_hour_users(access),
         "sessions": A.sessionization(access),
+        "hourly_sessions": A.sessions_per_hour(access),
+        "domain_hour_sessions": A.domain_hour_sessions(access),
+        "domain_daily_summary": A.domain_daily_summary(access),
+        "whereuid": A.whereuid_sessions(access, lookups["clone_map"]),
         "top_slowest": TN.top_slowest_requests(access),
         "top_uris_by_art": TN.top_uris_by_art(access),
         "top_error_urls": TN.top_error_urls(access),
+        "top_domains_by_art": TN.top_domains_by_art(access),
+        "top_uids_by_art": TN.top_uids_by_art(access),
+        "ext_sorted": TN.sorted_ext_report(access),
     }
 
 
@@ -141,6 +148,7 @@ def _was_reports(was: DataFrame, lookups: dict) -> dict[str, DataFrame]:
         "oom": A.oom_counts(was),
         "was_top_errors_by_component": TN.was_top_events(was, "component", ["E", "F"]),
         "was_top_warns_by_component": TN.was_top_events(was, "component", ["W"]),
+        "was_recycles": A.was_recycles(was),
     }
 
 
@@ -288,6 +296,12 @@ def run_pipeline(
             ("history/recycles",
              reports["http_recycles"].withColumn("record_date", F.lit(recorddate)),
              None, None),
+            ("history/was_recycles",
+             reports["was_recycles"].withColumn("record_date", F.lit(recorddate)),
+             None, None),
+            ("history/mpm",
+             reports["mpm_peak"].withColumn("record_date", F.lit(recorddate)),
+             None, None),
         ]
     # alerts (F9 -> S9): reuse the already-built report frames
     if rpttype == "all":
@@ -301,6 +315,7 @@ def run_pipeline(
             starv=reports["starvation"],
             hung=reports["hung_threads"],
             gc_daily=reports["gc_daily"],
+            maxclients=err.filter(F.col("subtype") == "maxclients"),
         )
         if alerts is not None:
             tail.append(("alerts", alerts, None, None))

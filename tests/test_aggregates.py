@@ -231,3 +231,95 @@ def test_weberror_counts(err_df, truth):
     got = A.weberror_counts_by_server(err_df).toPandas().set_index("web_server")["err_cnt"]
     exp = t.groupby("source").size()
     assert got.sort_index().equals(exp.sort_index().rename_axis("web_server"))
+
+
+def test_sessions_per_hour(access, t_access):
+    """A4 hourly: distinct jsession per hour (webAccessLogParser.sh:700-701)."""
+    got = A.sessions_per_hour(access).toPandas().set_index("hour")["jsc"]
+    t = t_access[t_access.a_jsession != "-"]
+    exp = t.groupby("hour")["a_jsession"].nunique().reindex(range(24), fill_value=0)
+    assert got.sort_index().equals(exp.sort_index().rename_axis("hour"))
+
+
+def test_domain_hour_sessions(access, t_access):
+    """A15 session pivot: distinct jsession per (domain, hour)."""
+    got = A.domain_hour_sessions(access).toPandas().set_index("domain")
+    t = t_access[t_access.a_jsession != "-"]
+    exp = t.groupby(["a_domain", "hour"])["a_jsession"].nunique().unstack(fill_value=0)
+    for h in range(24):
+        e = exp[h] if h in exp.columns else pd.Series(0, index=exp.index)
+        assert (got[str(h)].reindex(exp.index).fillna(0) == e).all(), h
+
+
+def test_domain_daily_summary(access, t_access):
+    got = A.domain_daily_summary(access).toPandas().set_index("domain")
+    exp_uuc = t_access.groupby("a_domain")["a_uid"].nunique()
+    assert got["uuc"].sort_index().equals(exp_uuc.sort_index().rename_axis("domain"))
+    t = t_access[t_access.a_jsession != "-"]
+    exp_usc = t.groupby("a_domain").apply(
+        lambda d: d[["a_clone_id", "a_jsession"]].drop_duplicates().shape[0],
+        include_groups=False,
+    ).reindex(exp_uuc.index, fill_value=0)
+    assert got["usc"].sort_index().equals(
+        exp_usc.sort_index().rename_axis("domain").rename("usc"))
+
+
+def test_whereuid_sessions(spark, access, t_access, dataset_dir):
+    """whereuid (webAccessLogParser.sh:715-720,1273-1295): last login / last
+    logout per (ws, was, clone, jsession, uid); AWK overwrite = last in file
+    order (doc_id)."""
+    clone_map = pd.read_parquet(dataset_dir / "lookups" / "clone_map.parquet")
+    was_of = dict(zip(clone_map.clone_id, clone_map.was_server))
+    t = t_access[(t_access.a_jsession != "-")
+                 & (t_access.a_is_login | t_access.a_is_logout)].sort_values("doc_id")
+    start, end = {}, {}
+    for r in t.itertuples():
+        key = (r.source, was_of.get(r.a_clone_id), r.a_clone_id, r.a_jsession, r.a_uid)
+        if r.a_is_login:
+            start[key] = r.doc_id
+        if r.a_is_logout:
+            end[key] = r.doc_id
+    exp_keys = set(start)
+
+    from log_parser_spark.sources.token_table import read_lookup
+    got = A.whereuid_sessions(
+        access, read_lookup(spark, dataset_dir, "clone_map")).toPandas()
+    got_keys = {
+        (r.web_server, r.was_server, r.clone_id, r.jsession, r.uid)
+        for r in got.itertuples()
+    }
+    assert got_keys == exp_keys
+    # ended sessions carry a diff; open ones carry null (reference 'na')
+    ended = {k for k in exp_keys if k in end}
+    got_ended = {
+        (r.web_server, r.was_server, r.clone_id, r.jsession, r.uid)
+        for r in got.itertuples() if pd.notna(r.diff_s)
+    }
+    assert got_ended == ended
+
+
+def test_was_recycles(was_df, t_was):
+    got = A.was_recycles(was_df).toPandas()
+    exp = t_was[t_was.w_code == "WSVR0001I"]
+    assert len(got) == len(exp)
+    assert got.groupby("jvm").size().sort_index().equals(
+        exp.groupby("source").size().sort_index().rename_axis("jvm"))
+
+
+def test_gc_event_metrics(gc_df, truth):
+    """P17 per-event diffs/pcts (javaGCStatsParser.sh:406-445)."""
+    got = A.gc_event_metrics(gc_df).toPandas()
+    t = truth[(truth.family == "gc") & (truth.event_date == MAIN_DATE)]
+    assert len(got) == len(t)
+    # aggregate-level check (row keys: ts_raw not unique-safe to join on, so
+    # compare totals which are order-insensitive)
+    exp_yng = (t.g_young_before_kb - t.g_young_after_kb).sum()
+    assert abs(got["yng_diff_kb"].sum() - exp_yng) < 1e-6
+    full = t[t.g_type != "GC"]
+    exp_old = (full.g_old_before_kb - full.g_old_after_kb).sum()
+    assert abs(got["old_diff_kb"].dropna().sum() - exp_old) < 1e-6
+    # minor GCs have no old-gen figures -> null diff, matching awk's ""
+    assert got["old_diff_kb"].isna().sum() == (t.g_type == "GC").sum()
+    exp_pct = (full.g_heap_after_kb / full.g_heap_total_kb * 100).round(4)
+    assert abs(got["hp_after_pct"].sum()
+               - (t.g_heap_after_kb / t.g_heap_total_kb * 100).round(4).sum()) < 1e-3
