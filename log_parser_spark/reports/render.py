@@ -61,8 +61,16 @@ def render_access_summary(rpts: dict[str, DataFrame], recorddate: str) -> str:
         hourly[f"r{i}_pc"] = (
             hourly[f"r{i}_cnt"] / hourly["cnt_xcl"].where(hourly["cnt_xcl"] > 0) * 100
         ).fillna(0.0)
+    # usc column (sample_reports/02:54): hourly distinct sessions
+    if "hourly_sessions" in rpts:
+        hs = _pd(rpts["hourly_sessions"]).rename(columns={"jsc": "usc"})
+        hourly = hourly.merge(hs, on="hour", how="left").fillna({"usc": 0})
+        hourly["usc"] = hourly["usc"].astype(int)
+    else:
+        hourly["usc"] = 0
     s.append(_table(hourly, [
-        ("hour", "hr", "<3d"), ("uuc", "uuc", "5d"), ("art", "art", "7.3f"),
+        ("hour", "hr", "<3d"), ("uuc", "uuc", "5d"), ("usc", "usc", "5d"),
+        ("art", "art", "7.3f"),
         ("r1_pc", "<=1", "7.3f"), ("r2_pc", "<=5", "7.3f"),
         ("r3_pc", "<=10", "7.3f"), ("r4_pc", "<=20", "7.3f"),
         ("r5_pc", ">20", "7.3f"),
@@ -95,6 +103,28 @@ def render_access_summary(rpts: dict[str, DataFrame], recorddate: str) -> str:
         ("cnt", "cnt", "6d"), ("status", "rsp", "d"), ("uri", "url", "s"),
     ]))
 
+    if "top_domains_by_art" in rpts:
+        dom = _pd(rpts["top_domains_by_art"])
+        s.append(_sec("Summary by Domain - Top 5 (slowest) by average response time"))
+        s.append(_table(dom, [
+            ("domain", "domain", "s"), ("cnt", "cnt", "8d"),
+            ("art", "art", "7.3f"),
+        ]))
+
+    if "top_uids_by_art" in rpts:
+        uid5 = _pd(rpts["top_uids_by_art"])
+        s.append(_sec("Top 5 (slowest) UIDs by Average Response Time"))
+        s.append(_table(uid5, [
+            ("uid", "uid", "s"), ("cnt", "cnt", "8d"), ("art", "art", "7.3f"),
+        ]))
+
+    if "domain_daily_summary" in rpts:
+        dds = _pd(rpts["domain_daily_summary"])
+        s.append(_sec("Daily Unique User and Session count by Domain"))
+        s.append(_table(dds, [
+            ("domain", "Domain", "s"), ("uuc", "uuc", "5d"), ("usc", "usc", "5d"),
+        ]))
+
     ext = _pd(rpts["ext_stats"])
     s.append(_sec("Summary by Extension"))
     s.append(_table(ext, [
@@ -108,7 +138,7 @@ def render_access_summary(rpts: dict[str, DataFrame], recorddate: str) -> str:
     ]))
 
     osx = _pd(rpts["os_usage"])
-    s.append(_sec("Operating System (OS) Usage Statistics"))
+    s.append(_sec("OS Usage Statistics"))  # sample_reports/02:279
     s.append(_table(osx, [
         ("os_name", "os", "s"), ("uuc", "uuc", "5d"), ("pct", "uupc", "7.2f"),
     ]))
