@@ -618,6 +618,14 @@ def q_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
 
 
+def q_ivf_knn(spark, sf):
+    """ANN via IVF coarse-quantizer cells (recall-tested vs brute force)."""
+    from log_parser_spark.operators.similarity import ivf_knn
+
+    return ivf_knn(_t(spark, sf, "embeddings"), KNN_QUERY_IDS, k=5,
+                   n_cells=8, n_probe=4, dim=64)
+
+
 def q_lsh_knn(spark, sf):
     """ANN via multi-table hyperplane LSH (recall-tested vs brute force)."""
     from log_parser_spark.operators.similarity import lsh_knn
@@ -675,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_knn": q_lsh_knn,
+        "ivf_knn": q_ivf_knn,
         "tl_sink_counts": tl_sink_counts,
         "tl_status_counts": tl_status_counts,
         "tl_hourly_stats": tl_hourly_stats,

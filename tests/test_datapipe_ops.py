@@ -259,3 +259,17 @@ def test_ngram_jaccard_max_df_caps_candidates(spark):
     assert (m["jaccard_x"] == m["jaccard_y"]).all()
     # the hot gram alone never creates candidates under the cap
     assert len(capped) <= len(uncapped)
+
+
+def test_ivf_knn_recall(emb, emb_pd):
+    """IVF probe must recover most exact neighbors (recall vs brute force)."""
+    qids = emb_pd["vec_id"].head(10).tolist()
+    exact = S.brute_force_knn(emb, qids, k=5).toPandas()
+    approx = S.ivf_knn(emb, qids, k=5, n_cells=8, n_probe=4, dim=64).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # determinism: same call twice gives identical cells/neighbors
+    again = S.ivf_knn(emb, qids, k=5, n_cells=8, n_probe=4, dim=64).toPandas()
+    assert approx.equals(again)
