@@ -126,8 +126,8 @@ def main() -> None:
         # N → 4N pair (the north-rule criterion), measured for BOTH the
         # core dataflow (scan→fused parse→aggregate; the path that governs
         # a multi-executor cluster) and the full pipeline (adds the sink
-        # write + ~46 snapshot commits, whose fixed tail plus host-steal
-        # noise lowers the small-wall ratio — see BENCH.md). 2→8 is the
+        # write + the bundled report/history/alert commits — 7 snapshots
+        # total since round 2 — see BENCH.md). 2→8 is the
         # honest pair on this single-socket box: beyond ~8-16 cores the
         # string-heavy kernel saturates the shared memory bus.
         core_lo = run_core(lo_cores, tl_dir, shuffle=max(8, lo_cores))

@@ -103,11 +103,15 @@ def sessions_per_hour(access: DataFrame) -> DataFrame:
 def domain_hour_sessions(access: DataFrame) -> DataFrame:
     """A15 (session half): domain x hour distinct-session pivot
     (webAccessLogParser.sh:702,916-934 arrHrljSessDmn/arrHrlDmnBySess)."""
-    return (
+    pairs = (
         access.filter(F.col("jsession") != "-")
-        .groupBy("domain")
+        .select("domain", "hour", "jsession")
+        .distinct()  # dedup first — avoids the 24x distinct-agg Expand
+    )
+    return (
+        pairs.groupBy("domain")
         .pivot("hour", list(range(24)))
-        .agg(F.countDistinct("jsession"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0)
         .orderBy("domain")
     )
@@ -361,11 +365,17 @@ def errors_by_uri(access: DataFrame) -> DataFrame:
 
 
 def domain_hour_users(access: DataFrame) -> DataFrame:
-    """A15: domain x hour distinct-user pivot (webAccessLogParser.sh:916-934,1241-1270)."""
+    """A15: domain x hour distinct-user pivot (webAccessLogParser.sh:916-934,1241-1270).
+
+    Two-step distinct-then-count: a pivot of 24 countDistinct aggregates
+    would compile to an Expand that multiplies every input row 24x before
+    the hash aggregate; deduping (domain, hour, uid) first keeps the heavy
+    pass at 1x and pivots only the tiny deduped set."""
+    pairs = access.select("domain", "hour", "uid").distinct()
     return (
-        access.groupBy("domain")
+        pairs.groupBy("domain")
         .pivot("hour", list(range(24)))
-        .agg(F.countDistinct("uid"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0)
         .orderBy("domain")
     )

@@ -99,18 +99,29 @@ def read_report(
     )
 
 
-def _access_reports(access: DataFrame, lookups: dict) -> dict[str, DataFrame]:
+def _access_reports(
+    access: DataFrame, lookups: dict, persisted: list | None = None,
+) -> dict[str, DataFrame]:
     from ..operators.enrich import baseline_deviation
 
-    uri = A.uri_stats(access)
+    # Shared aggregates: uri/domain/uid/ext stats each feed BOTH a full
+    # listing and a top-K (and uri also the alert family). Persist the tiny
+    # aggregated frames so the report job aggregates the big access cache
+    # once per key, not once per consumer.
+    uri = A.uri_stats(access).persist()
+    dom = A.domain_stats(access).persist()
+    uids = A.uid_stats(access).persist()
+    ext = A.ext_stats(access).persist()
+    if persisted is not None:
+        persisted += [uri, dom, uids, ext]
     return {
         "status_counts": A.status_counts(access),
         "uri_stats": baseline_deviation(uri, lookups["perf_baseline"]),
         "hourly_stats": A.hourly_stats(access),
         "daily_rollup": A.daily_rollup(access),
-        "uid_stats": A.uid_stats(access),
-        "domain_stats": A.domain_stats(access),
-        "ext_stats": A.ext_stats(access),
+        "uid_stats": uids,
+        "domain_stats": dom,
+        "ext_stats": ext,
         "browser_usage": A.browser_usage(access),
         "os_usage": A.os_usage(access),
         "server_stats": A.server_stats(access),
@@ -125,11 +136,11 @@ def _access_reports(access: DataFrame, lookups: dict) -> dict[str, DataFrame]:
         "domain_daily_summary": A.domain_daily_summary(access),
         "whereuid": A.whereuid_sessions(access, lookups["clone_map"]),
         "top_slowest": TN.top_slowest_requests(access),
-        "top_uris_by_art": TN.top_uris_by_art(access),
+        "top_uris_by_art": uri.orderBy(F.desc("art"), "uri").limit(10),
         "top_error_urls": TN.top_error_urls(access),
-        "top_domains_by_art": TN.top_domains_by_art(access),
-        "top_uids_by_art": TN.top_uids_by_art(access),
-        "ext_sorted": TN.sorted_ext_report(access),
+        "top_domains_by_art": dom.orderBy(F.desc("art"), "domain").limit(5),
+        "top_uids_by_art": uids.orderBy(F.desc("art"), "uid").limit(5),
+        "ext_sorted": ext.orderBy(F.desc("cnt"), "ext"),
     }
 
 
@@ -256,17 +267,33 @@ def run_pipeline(
     # column-pruned parquet read with a family/date predicate pushed to the
     # scan — no persist needed (the sink files ARE the shared materialization)
     date_gate = F.col("event_date") == recorddate  # F8 summarize-date gate
-    # access is ~70% of rows and feeds ~19 reports — cache it once; the
-    # small families stay column-pruned parquet reads
-    access = parsed_family(classified, "access").filter(
-        (F.col("category") == "access") & date_gate).persist()
-    was = parsed_family(classified, "was").filter(date_gate)
-    err = parsed_family(classified, "weberror").filter(date_gate)
-    gc = parsed_family(classified, "gc").filter(date_gate)
+    # access is ~70% of rows and feeds ~25 reports — cache it ONCE, pruned
+    # to exactly the columns the report set reads (the silver table carries
+    # wide raw-string columns like ua/uri_full/host that no aggregate
+    # touches; keeping them in the cache multiplies the memory traffic of
+    # every report pass — the reports phase is memory-bus-bound, so cache
+    # bytes are the scaling currency here).
+    ACCESS_REPORT_COLS = [
+        "doc_id", "source", "ts_raw", "method", "uri_path", "params",
+        "domain", "ext", "status", "rt", "jsession", "clone_id", "uid",
+        "browser", "os_name", "event_date", "hour", "range",
+    ]
+    access = (
+        parsed_family(classified, "access")
+        .filter((F.col("category") == "access") & date_gate)
+        .select(*ACCESS_REPORT_COLS)
+        .persist()
+    )
+    # the small families each feed several reports — persist to avoid
+    # repeated parquet decode of the same rows (was: 13 reports)
+    was = parsed_family(classified, "was").filter(date_gate).persist()
+    err = parsed_family(classified, "weberror").filter(date_gate).persist()
+    gc = parsed_family(classified, "gc").filter(date_gate).persist()
 
+    persisted: list[DataFrame] = []
     reports: dict[str, DataFrame] = {}
     if rpttype in ("all", "web"):
-        reports.update(_access_reports(access, lookups))
+        reports.update(_access_reports(access, lookups, persisted))
     if rpttype in ("all", "was"):
         reports.update(_was_reports(was, lookups))
     if rpttype in ("all", "err"):
@@ -305,10 +332,17 @@ def run_pipeline(
         ]
     # alerts (F9 -> S9): reuse the already-built report frames
     if rpttype == "all":
+        # reused report frames: persist so the concurrent history/alert
+        # commits don't each re-aggregate the access cache
+        for name in ("daily_rollup", "gc_daily", "http_recycles",
+                     "was_recycles", "mpm_peak", "weberror_by_server",
+                     "tto", "starvation", "hung_threads"):
+            if name in reports:
+                persisted.append(reports[name].persist())
         alerts = AL.build_alerts(
             th,
             daily=reports["daily_rollup"],
-            uri_agg=A.uri_stats(access),
+            uri_agg=reports["uri_stats"],
             server_err=reports["weberror_by_server"],
             mpm_peak=reports["mpm_peak"],
             tto=reports["tto"],
@@ -354,5 +388,6 @@ def run_pipeline(
     res.elapsed_s = time.time() - t0
     res.phase_s["metrics"] = round(
         res.elapsed_s - sum(res.phase_s.values()), 2)
-    access.unpersist()
+    for df in (access, was, err, gc, *persisted):
+        df.unpersist()
     return res
