@@ -105,9 +105,15 @@ def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # scaling evidence runs at tokenlog SF=1 (10M rows; BASELINE.md) — big
-    # enough that per-job fixed costs amortize and the data path dominates
-    scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "1"))
+    # Scaling evidence: the FULL-pipeline N->4N pair runs at tokenlog SF=2
+    # (20M rows) — at SF=1 the run still carries ~40 s of core-count-
+    # independent driver work (plan/codegen/commit/scheduler events) that
+    # is 0.0001% of a real 10^12-sequence job but visibly caps a 110-second
+    # wall; 2x the data halves its weight and measures the regime the north
+    # rule actually describes. The CORE-dataflow pair stays at SF=1 (it has
+    # no tail, so it is already constant-free).
+    scaling_sf = float(os.environ.get("BENCH_SCALING_SF", "2"))
+    core_sf = float(os.environ.get("BENCH_CORE_SF", "1"))
     lo_cores, hi_cores = (
         int(x) for x in os.environ.get("BENCH_SCALING_CORES", "2,8").split(",")
     )
@@ -115,6 +121,7 @@ def main() -> None:
     from log_parser_spark import datagen
 
     tl_dir = str(datagen.ensure_dataset(scaling_sf))
+    core_dir = str(datagen.ensure_dataset(core_sf))
     import duckdb
 
     n_tokens = duckdb.sql(
@@ -130,8 +137,8 @@ def main() -> None:
         # total since round 2 — see BENCH.md). 2→8 is the
         # honest pair on this single-socket box: beyond ~8-16 cores the
         # string-heavy kernel saturates the shared memory bus.
-        core_lo = run_core(lo_cores, tl_dir, shuffle=max(8, lo_cores))
-        core_hi = run_core(hi_cores, tl_dir, shuffle=max(8, hi_cores))
+        core_lo = run_core(lo_cores, core_dir, shuffle=max(8, lo_cores))
+        core_hi = run_core(hi_cores, core_dir, shuffle=max(8, hi_cores))
         lo = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
         hi = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
         full = run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
@@ -139,8 +146,10 @@ def main() -> None:
         core_eff = (core_hi["seq_per_s"] / core_lo["seq_per_s"]) / (hi_cores / lo_cores)
         scaling = {
             f"local{lo_cores}": lo, f"local{hi_cores}": hi, f"local{cpus}": full,
+            "full_pipeline_sf": scaling_sf,
             "core_job": {f"local{lo_cores}": core_lo, f"local{hi_cores}": core_hi,
-                         "efficiency_Nto4N": round(core_eff, 3)},
+                         "efficiency_Nto4N": round(core_eff, 3),
+                         "sf": core_sf},
             "efficiency_Nto4N": round(eff, 3),
             "pair": f"local[{lo_cores}]->local[{hi_cores}]",
         }

@@ -48,24 +48,42 @@ class PipelineResult:
     phase_s: dict = field(default_factory=dict)
 
 
-def _bundle_reports(reports: dict[str, DataFrame]) -> tuple[DataFrame, dict[str, str]]:
-    """Union every report into ONE (report_name, row_json) frame so the
-    whole report set commits as a single snapshot (single job, single
-    manifest append). Schemas ride along in the manifest for read_report."""
-    parts: list[DataFrame] = []
-    schemas: dict[str, str] = {}
-    for name, df in reports.items():
-        schemas[name] = df.schema.json()
-        parts.append(
-            df.select(
-                F.lit(name).alias("report_name"),
-                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("row_json"),
+def _bundle_reports(
+    reports: dict[str, DataFrame], n_chunks: int = 8,
+) -> list[tuple[str, DataFrame, dict[str, str]]]:
+    """Bundle the report set into a few (suffix, frame, schemas) chunks of
+    (report_name, row_json) unions.
+
+    Why chunks and not one mega-union: the reports phase carries a large
+    CORE-COUNT-INDEPENDENT driver cost — Catalyst optimization + whole-stage
+    codegen of every report subplan (measured ~17 s at sf0.001 where compute
+    is nil). A single union serializes all of that on one driver thread; a
+    handful of chunks submitted through the commit pool plan/compile/run
+    concurrently, while still collapsing ~41 snapshot commits to n_chunks.
+    On a real cluster each chunk is one Iceberg commit."""
+    names = sorted(reports)
+    chunks: list[tuple[str, DataFrame, dict[str, str]]] = []
+    n_chunks = max(1, min(n_chunks, len(names)))
+    for i in range(n_chunks):
+        chunk_names = names[i::n_chunks]
+        if not chunk_names:
+            continue
+        schemas: dict[str, str] = {}
+        parts: list[DataFrame] = []
+        for name in chunk_names:
+            df = reports[name]
+            schemas[name] = df.schema.json()
+            parts.append(
+                df.select(
+                    F.lit(name).alias("report_name"),
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("row_json"),
+                )
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out, schemas
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        chunks.append((f"b{i}", out, schemas))
+    return chunks
 
 
 def read_report(
@@ -77,8 +95,11 @@ def read_report(
     from pyspark.sql import types as T
 
     at = AtomicTable(Path(out_dir) / "reports")
+    # a run commits its reports as several chunk snapshots {txid}-b{i};
+    # `txid` here is the RUN id (recorddate), so prefix-match the chunks
     recs = [
-        r for r in at.committed().values() if txid is None or r["txid"] == txid
+        r for r in at.committed().values()
+        if txid is None or r["txid"] == txid or r["txid"].startswith(f"{txid}-b")
     ]
     schema_json = None
     for r in reversed(recs):
@@ -88,7 +109,7 @@ def read_report(
             break
     if schema_json is None:
         return None
-    df = at.read_txid(spark, txid) if txid else at.read(spark)
+    df = at._read_recs(spark, recs)
     if df is None:
         return None
     schema = T.StructType.fromJson(_json.loads(schema_json))
@@ -278,17 +299,26 @@ def run_pipeline(
         "domain", "ext", "status", "rt", "jsession", "clone_id", "uid",
         "browser", "os_name", "event_date", "hour", "range",
     ]
+    # coalesce the cached frames to a fixed, modest partition count: every
+    # report re-reads the cache, so its partition count multiplies into
+    # (reports x partitions) task-launch events on the driver's single
+    # scheduler loop — with 32 MB input splits the raw scan is ~75
+    # partitions and 25 access reports made ~2k task events of pure
+    # driver-serial overhead per run. 24/8 keeps all cores busy while
+    # capping that constant. (On a real cluster: size cache partitions to
+    # executor count, not input splits.)
     access = (
         parsed_family(classified, "access")
         .filter((F.col("category") == "access") & date_gate)
         .select(*ACCESS_REPORT_COLS)
+        .coalesce(24)
         .persist()
     )
     # the small families each feed several reports — persist to avoid
     # repeated parquet decode of the same rows (was: 13 reports)
-    was = parsed_family(classified, "was").filter(date_gate).persist()
-    err = parsed_family(classified, "weberror").filter(date_gate).persist()
-    gc = parsed_family(classified, "gc").filter(date_gate).persist()
+    was = parsed_family(classified, "was").filter(date_gate).coalesce(8).persist()
+    err = parsed_family(classified, "weberror").filter(date_gate).coalesce(8).persist()
+    gc = parsed_family(classified, "gc").filter(date_gate).coalesce(8).persist()
 
     persisted: list[DataFrame] = []
     reports: dict[str, DataFrame] = {}
@@ -301,34 +331,34 @@ def run_pipeline(
     if rpttype in ("all", "gc"):
         reports.update(_gc_reports(gc, th))
 
-    # Commit ALL reports as ONE bundled snapshot: each report row becomes
-    # (report_name, row_json) and the union writes in a single job with a
-    # single manifest append — the round-1 layout committed ~41 tiny
-    # per-report snapshots and that driver-side constant tail capped
-    # full-pipeline scaling efficiency at ~0.75. On a real cluster this is
-    # one Iceberg commit instead of 41. Per-report frames parse back via
-    # read_report() using the schemas stored in the manifest.
-    tail: list[tuple[str, DataFrame, list | None, dict | None]] = []
+    # Commit the reports as a FEW bundled (report_name, row_json) snapshots:
+    # chunking parallelizes the core-count-independent driver cost (plan +
+    # codegen per report subplan) across the commit pool while still
+    # collapsing ~41 per-report commits to n_chunks manifest appends.
+    # Per-report frames parse back via read_report() using the schemas
+    # stored in the manifests.
+    tail: list[tuple[str, DataFrame, list | None, dict | None, str]] = []
     if reports:
-        bundle, schemas = _bundle_reports(reports)
-        tail.append(("reports", bundle, ["report_name"], {"report_schemas": schemas}))
+        for suffix, bundle, schemas in _bundle_reports(reports):
+            tail.append(("reports", bundle, ["report_name"],
+                         {"report_schemas": schemas}, f"{recorddate}-{suffix}"))
     # history append (S8): one daily row per history table; gated on daily
     # mode like the reference (usage.sh:111-119, e.g. sh:984-986)
     if procoption == "daily" and rpttype == "all":
         tail += [
             ("history/http_perf",
              reports["daily_rollup"].withColumn("record_date", F.lit(recorddate)),
-             None, None),
-            ("history/gc", reports["gc_daily"], None, None),
+             None, None, recorddate),
+            ("history/gc", reports["gc_daily"], None, None, recorddate),
             ("history/recycles",
              reports["http_recycles"].withColumn("record_date", F.lit(recorddate)),
-             None, None),
+             None, None, recorddate),
             ("history/was_recycles",
              reports["was_recycles"].withColumn("record_date", F.lit(recorddate)),
-             None, None),
+             None, None, recorddate),
             ("history/mpm",
              reports["mpm_peak"].withColumn("record_date", F.lit(recorddate)),
-             None, None),
+             None, None, recorddate),
         ]
     # alerts (F9 -> S9): reuse the already-built report frames
     if rpttype == "all":
@@ -352,18 +382,18 @@ def run_pipeline(
             maxclients=err.filter(F.col("subtype") == "maxclients"),
         )
         if alerts is not None:
-            tail.append(("alerts", alerts, None, None))
+            tail.append(("alerts", alerts, None, None, recorddate))
 
     if stop_after is not None:
-        for name, df, pby, meta in tail:
-            commit(name, df, recorddate, partition_by=pby, meta=meta)
+        for name, df, pby, meta, txid in tail:
+            commit(name, df, txid, partition_by=pby, meta=meta)
     else:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             futs = [
-                pool.submit(commit, name, df, recorddate, pby, meta)
-                for name, df, pby, meta in tail
+                pool.submit(commit, name, df, txid, pby, meta)
+                for name, df, pby, meta, txid in tail
             ]
             for f in futs:
                 f.result()

@@ -121,3 +121,78 @@ def start_sink_stream(parsed: DataFrame, out_dir: str | Path,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionization_stream(parsed: DataFrame) -> DataFrame:
+    """J5 as a CUSTOM STATEFUL streaming operator via applyInPandasWithState.
+
+    Per (clone_id, jsession, uid) group the state holds the last-seen login
+    epoch; a logout emits the closed session with its duration, and an idle
+    group is closed by processing-time timeout with a null logout — the
+    streaming twin of batch `aggregates.sessionization` (reference
+    webAccessLogParser.sh:715-720,1273-1295), with state bounded by the
+    timeout instead of growing with the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions import patterns as P
+
+    access = parsed.filter(
+        (F.col("family") == "access")
+        & (F.col("a_jsession") != "-")
+        & (F.col("a_uri_path").endswith("loginRoleSelect.xhtml")
+           | F.col("a_params").contains("logout=true"))
+    ).select(
+        F.col("a_clone_id").alias("clone_id"),
+        F.col("a_jsession").alias("jsession"),
+        F.col("a_uid").alias("uid"),
+        F.unix_timestamp(
+            F.to_timestamp(F.col("a_ts_raw"), P.ACCESS_TS_FMT)).alias("epoch"),
+        F.col("a_uri_path").endswith("loginRoleSelect.xhtml").alias("is_login"),
+    )
+
+    out_schema = (
+        "clone_id string, jsession string, uid string, "
+        "login_epoch long, logout_epoch long, duration_s long, closed_by string"
+    )
+    state_schema = "login_epoch long"
+
+    def fn(key, pdfs, state: GroupState):
+        clone_id, jsession, uid = key
+        if state.hasTimedOut:
+            (login_epoch,) = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "clone_id": clone_id, "jsession": jsession, "uid": uid,
+                "login_epoch": login_epoch, "logout_epoch": None,
+                "duration_s": None, "closed_by": "timeout",
+            }])
+            return
+        login = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("epoch").itertuples():
+                if r.is_login:
+                    login = int(r.epoch)  # awk overwrite: last login wins
+                elif login is not None:
+                    rows.append({
+                        "clone_id": clone_id, "jsession": jsession, "uid": uid,
+                        "login_epoch": login, "logout_epoch": int(r.epoch),
+                        "duration_s": int(r.epoch) - login,
+                        "closed_by": "logout",
+                    })
+                    login = None
+        if login is not None:
+            state.update((login,))
+            state.setTimeoutDuration(60 * 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(rows, columns=[
+            "clone_id", "jsession", "uid", "login_epoch", "logout_epoch",
+            "duration_s", "closed_by"])
+
+    return access.groupBy("clone_id", "jsession", "uid").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -71,3 +71,35 @@ def test_streaming_alerts(spark, dataset_dir, tmp_path):
     q.awaitTermination(300)
     got = spark.sql("select * from alerts_stream")
     assert got.filter(F.col("error_cnt") <= 5).count() == 0
+
+
+def test_streaming_sessionization_stateful(spark, dataset_dir, tmp_path, truth):
+    """applyInPandasWithState sessionization: closed (login->logout) sessions
+    emitted by the stream match the batch pairing for groups that have both
+    ends in order."""
+    from log_parser_spark.streaming import parse_stream, read_token_stream, sessionization_stream
+
+    stream = read_token_stream(spark, dataset_dir)
+    sess = sessionization_stream(parse_stream(stream))
+    q = (
+        sess.writeStream.format("memory").queryName("stream_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from stream_sessions").toPandas()
+    closed = got[got.closed_by == "logout"]
+    assert len(closed) > 0
+    # durations are arrival-order diffs (the awk overwrite semantics — the
+    # reference's endTmSec-strTmSec may go negative on out-of-order lines),
+    # so assert internal consistency, not sign
+    assert (closed["logout_epoch"] - closed["login_epoch"]
+            == closed["duration_s"]).all()
+    # every closed session's group had a login-capable event
+    t = truth[(truth.category == "access") & (truth.a_jsession != "-")
+              & truth.a_is_login]
+    login_keys = set(map(tuple, t[["a_clone_id", "a_jsession", "a_uid"]].values))
+    got_keys = set(map(tuple, closed[["clone_id", "jsession", "uid"]].values))
+    assert got_keys <= login_keys
