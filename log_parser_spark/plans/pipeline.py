@@ -390,7 +390,17 @@ def run_pipeline(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=8) as pool:
+        # WARM the caches before the tail fan-out so every tail job runs on
+        # warm blocks (a cold cache is built under per-block locks).
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(lambda d: d.count(), (access, was, err, gc)))
+        if persisted:
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(lambda d: d.count(), persisted))
+
+        import os as _os
+        tail_workers = int(_os.environ.get("PIPELINE_TAIL_WORKERS", "4"))
+        with ThreadPoolExecutor(max_workers=tail_workers) as pool:
             futs = [
                 pool.submit(commit, name, df, txid, pby, meta)
                 for name, df, pby, meta, txid in tail
