@@ -310,6 +310,13 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     never an all-pairs join. Candidate volume is bounded by the per-block
     bucket sizes; the hamming filter then verifies exactly.
 
+    Sizing note for 100 TB: max_hamming+1 blocks over 64 bits means ~7-bit
+    blocks at max_hamming=8 — only 128 bucket values per table, so bucket
+    sizes grow linearly with the corpus. At large scale either lower
+    max_hamming (wider blocks: max_hamming=3 -> 16-bit blocks) or compose
+    with a pre-partition on a cheap exact key; the scheme stays recall-1.0
+    either way.
+
     (The round-1 version bucketed on ONE 16-bit block and silently missed
     any pair whose differing bits touched bits 48-63.)"""
     n_blocks = max_hamming + 1
