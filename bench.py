@@ -146,11 +146,21 @@ def main() -> None:
         core_lo = run_core(lo_cores, core_dir, shuffle=max(8, lo_cores))
         core_hi = run_core(hi_cores, core_dir, shuffle=max(8, hi_cores))
         repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+        # stay inside a wall-clock budget: a truncated-but-complete JSON
+        # beats a driver-killed run with no JSON at all
+        budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "2400"))
+        bench_t0 = time.time()
         pairs = []
-        for _ in range(repeats):
+        for i in range(repeats):
             h = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
             l = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
             pairs.append((h, l, (h["seq_per_s"] / l["seq_per_s"]) / (hi_cores / lo_cores)))
+            spent = time.time() - bench_t0
+            per_pair = spent / (i + 1)
+            if i + 1 < repeats and spent + per_pair > budget_s:
+                print(f"# budget: stopping after {i + 1}/{repeats} pairs "
+                      f"({spent:.0f}s spent)", file=sys.stderr)
+                break
         pairs.sort(key=lambda p: p[2])
         hi, lo, eff = pairs[len(pairs) // 2]  # median-efficiency pair
         his = [p[0] for p in pairs]
