@@ -79,7 +79,9 @@ def test_streaming_sessionization_stateful(spark, dataset_dir, tmp_path, truth):
     ends in order."""
     from log_parser_spark.streaming import parse_stream, read_token_stream, sessionization_stream
 
-    stream = read_token_stream(spark, dataset_dir)
+    # 2 micro-batches (34 source files / 20) — exercises cross-batch state
+    # without paying per-batch state-store checkpoint cost 5x
+    stream = read_token_stream(spark, dataset_dir, max_files_per_trigger=20)
     sess = sessionization_stream(parse_stream(stream))
     q = (
         sess.writeStream.format("memory").queryName("stream_sessions")
