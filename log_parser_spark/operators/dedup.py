@@ -92,15 +92,36 @@ def ngram_jaccard_pairs(
     grams = docs.select(
         "doc_id",
         F.array_distinct(word_ngrams(F.col("text"), n)).alias("grams"),
-    )
-    inv = grams.select("doc_id", F.explode("grams").alias("g"))
-    if max_df is not None:
-        keep = inv.groupBy("g").agg(F.count("*").alias("df")).filter(
-            F.col("df") <= max_df).select("g")
-        inv = inv.join(keep, "g")
+    ).withColumn("n_grams", F.size("grams"))
+    inv = grams.select("doc_id", "n_grams", F.explode("grams").alias("g"))
 
-    a = inv.select(F.col("doc_id").alias("id_a"), "g")
-    b = inv.select(F.col("doc_id").alias("id_b"), "g")
+    if max_df is None:
+        # fast path: the index join COUNTS shared grams directly — with an
+        # uncapped index the count IS the exact intersection size, so no
+        # second join against the gram arrays is needed
+        a = inv.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"), "g")
+        b = inv.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"), "g")
+        common = (
+            a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "na", "nb")
+            .agg(F.count("*").alias("common"))
+        )
+        jac = common.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        return jac.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        ).orderBy("id_a", "id_b")
+
+    # capped path: hot grams leave the index, so the index count is only a
+    # lower bound — candidates verify EXACTLY against the full gram arrays
+    keep = inv.groupBy("g").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df).select("g")
+    capped = inv.join(keep, "g")
+    a = capped.select(F.col("doc_id").alias("id_a"), "g")
+    b = capped.select(F.col("doc_id").alias("id_b"), "g")
     cands = (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
