@@ -626,6 +626,16 @@ def q_ivf_knn(spark, sf):
                    n_cells=8, n_probe=4, dim=64)
 
 
+def q_near_dup_lsh(spark, sf):
+    """Embedding near-dup pairs via multi-table LSH (recall-tested)."""
+    from log_parser_spark.operators.similarity import near_dup_pairs_lsh
+
+    # driver embeddings are random normals (max pairwise cosine ~0.5), so a
+    # production-style 0.9 threshold returns nothing — 0.4 exercises the
+    # bucketing+verify path with a non-empty result
+    return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.4, dim=64)
+
+
 def q_lsh_knn(spark, sf):
     """ANN via multi-table hyperplane LSH (recall-tested vs brute force)."""
     from log_parser_spark.operators.similarity import lsh_knn
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
+        "near_dup_lsh": q_near_dup_lsh,
         "tl_sink_counts": tl_sink_counts,
         "tl_status_counts": tl_status_counts,
         "tl_hourly_stats": tl_hourly_stats,

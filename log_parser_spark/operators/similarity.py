@@ -222,3 +222,49 @@ def ivf_knn(
                 F.round("cos", 6).alias("cos"))
         .orderBy("query_id", "rank")
     )
+
+
+def near_dup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.9,
+    n_planes: int = 6, n_tables: int = 10, dim: int | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS via multi-table hyperplane LSH — the
+    scale path for `near_dup_pairs` (which is an all-pairs product kept for
+    oracle parity at test scale).
+
+    Same-bucket rows in ANY table become candidates (high-cosine pairs
+    collide with probability (1 - theta/pi)^b per table), the exact cosine
+    filter then verifies. Shuffle volume = rows x tables tiny keys; no
+    all-pairs join anywhere in the plan."""
+    if dim is None:
+        raise ValueError("near_dup_pairs_lsh requires `dim` explicitly")
+    emb_d = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sigs = [
+        lsh_signature(F.col("v"), _hyperplanes(dim, n_planes, seed + 97 * t))
+        for t in range(n_tables)
+    ]
+    tagged = emb_d.select(
+        "vec_id", "v",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), s.alias("sig"))
+                for t, s in enumerate(sigs)
+            ])
+        ).alias("ts"),
+    ).select("vec_id", "v", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+
+    a = tagged.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "tbl", "sig")
+    b = tagged.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "tbl", "sig")
+    return (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+        .withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )

@@ -273,3 +273,25 @@ def test_ivf_knn_recall(emb, emb_pd):
     # determinism: same call twice gives identical cells/neighbors
     again = S.ivf_knn(emb, qids, k=5, n_cells=8, n_probe=4, dim=64).toPandas()
     assert approx.equals(again)
+
+
+def test_near_dup_pairs_lsh_recall(spark):
+    """LSH-bucketed near-dup pairs vs the exact all-pairs result on PLANTED
+    near-duplicates (the fixture embeddings are random normals with no pairs
+    above ~0.51 cosine, which would make this test vacuous)."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(20, 16)
+    rows, vid = [], 0
+    for i in range(20):
+        rows.append((vid, base[i].tolist())); vid += 1
+        for _ in range(2):  # two near-dups per base vector
+            rows.append((vid, (base[i] + rng.randn(16) * 0.05).tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = S.near_dup_pairs(df, threshold=0.95).toPandas()
+    approx = S.near_dup_pairs_lsh(
+        df, threshold=0.95, dim=16, n_planes=5, n_tables=12).toPandas()
+    e = set(zip(exact.id_a, exact.id_b))
+    a = set(zip(approx.id_a, approx.id_b))
+    assert len(e) >= 20  # the plant worked: real pairs exist
+    assert a <= e        # cosine-verified -> no false positives
+    assert len(a & e) / len(e) >= 0.9, (len(a & e), len(e))
