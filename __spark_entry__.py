@@ -597,6 +597,72 @@ def tl_alerts(spark, sf):
     return alerts.select("metric", "scope", "observed", "threshold")
 
 
+def tl_hourly_sessions(spark, sf):
+    """A4 hourly distinct sessions (webAccessLogParser.sh:700-701,1047-1058)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return A.sessions_per_hour(access)
+
+
+def tl_domain_daily(spark, sf):
+    """A15 daily per-domain uuc+usc (webAccessLogParser.sh:1241-1266)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    return A.domain_daily_summary(access)
+
+
+def tl_whereuid(spark, sf):
+    """whereuid report (webAccessLogParser.sh:715-720,1273-1295); timestamps
+    projected to strings and the nullable diff to a sentinel for hashing."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+    from log_parser_spark.sources.token_table import read_lookup
+
+    classified, d = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    out = A.whereuid_sessions(access, read_lookup(spark, d, "clone_map"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "web_server", "was_server", "clone_id", "jsession", "uid",
+        F.date_format("start_ts", fmt).alias("start_s"),
+        F.date_format("end_ts", fmt).alias("end_s"),
+        F.coalesce(F.col("diff_s"), F.lit(-999999).cast("long")).alias("diff_s"),
+    )
+
+
+def tl_was_recycles(spark, sf):
+    """WAS recycle history rows (websphereLogParser.sh:70-73,253)."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    return A.was_recycles(parsed_family(classified, "was"))
+
+
+def tl_gc_events(spark, sf):
+    """P17 per-event GC diffs/pcts (javaGCStatsParser.sh:406-445). ts_raw
+    carries random millis the truth does not record, so the comparable
+    projection keys on (source, date, type) + the 8 derived metrics; minor
+    GCs' missing old/perm figures map to a sentinel for hashing."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    out = A.gc_event_metrics(parsed_family(classified, "gc"))
+    cols = ["yng_diff_kb", "yng_after_pct", "old_diff_kb", "old_after_pct",
+            "prm_diff_kb", "prm_after_pct", "hp_diff_kb", "hp_after_pct"]
+    return out.select(
+        "source", "event_date", "gc_type",
+        *[F.coalesce(F.col(c), F.lit(-999999.0)).alias(c) for c in cols],
+    )
+
+
 def q_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs (xxhash64-based; verified vs py oracle in tests)."""
     from log_parser_spark.operators.dedup import minhash_lsh_pairs
@@ -706,6 +772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tl_sessionization": tl_sessionization,
         "tl_top_slowest": tl_top_slowest,
         "tl_alerts": tl_alerts,
+        "tl_hourly_sessions": tl_hourly_sessions,
+        "tl_domain_daily": tl_domain_daily,
+        "tl_whereuid": tl_whereuid,
+        "tl_was_recycles": tl_was_recycles,
+        "tl_gc_events": tl_gc_events,
     }
 
 
@@ -1222,5 +1293,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'httpApproachMaxClients', source,
                    CAST(e_mc_cur AS DOUBLE), CAST(e_mc_max AS DOUBLE)
             FROM {truth} WHERE family = 'weberror' AND e_subtype = 'maxclients'
+        """,
+        "tl_hourly_sessions": f"""
+            WITH agg AS (
+                SELECT hour, COUNT(DISTINCT a_jsession) AS jsc
+                FROM ({acc}) WHERE a_jsession <> '-' GROUP BY hour)
+            SELECT CAST(h.hour AS INTEGER) AS hour, COALESCE(jsc, 0) AS jsc
+            FROM generate_series(0, 23) AS h(hour)
+            LEFT JOIN agg ON agg.hour = h.hour
+        """,
+        "tl_domain_daily": f"""
+            WITH a AS ({acc}),
+            u1 AS (SELECT a_domain AS domain, COUNT(DISTINCT a_uid) AS uuc
+                   FROM a GROUP BY 1),
+            u2 AS (SELECT domain, COUNT(*) AS usc FROM (
+                       SELECT DISTINCT a_domain AS domain, a_clone_id, a_jsession
+                       FROM a WHERE a_jsession <> '-') GROUP BY 1)
+            SELECT u1.domain, u1.uuc, COALESCE(u2.usc, 0) AS usc
+            FROM u1 LEFT JOIN u2 ON u1.domain = u2.domain
+        """,
+        "tl_whereuid": f"""
+            WITH cm AS (SELECT clone_id, was_server
+                        FROM read_parquet('{ds}/lookups/clone_map.parquet')),
+            s AS (
+                SELECT t.source AS web_server, cm.was_server,
+                       a_clone_id AS clone_id, a_jsession AS jsession,
+                       a_uid AS uid, a_is_login, a_is_logout, doc_id,
+                       {acc_epoch} AS e
+                FROM ({acc}) t LEFT JOIN cm ON t.a_clone_id = cm.clone_id
+                WHERE a_jsession <> '-' AND (a_is_login OR a_is_logout)),
+            st AS (SELECT web_server, was_server, clone_id, jsession, uid, e
+                   FROM s WHERE a_is_login
+                   QUALIFY row_number() OVER (
+                       PARTITION BY web_server, was_server, clone_id, jsession, uid
+                       ORDER BY doc_id DESC) = 1),
+            en AS (SELECT web_server, was_server, clone_id, jsession, uid, e
+                   FROM s WHERE a_is_logout
+                   QUALIFY row_number() OVER (
+                       PARTITION BY web_server, was_server, clone_id, jsession, uid
+                       ORDER BY doc_id DESC) = 1)
+            SELECT st.web_server, st.was_server, st.clone_id, st.jsession, st.uid,
+                   strftime(make_timestamp(st.e * 1000000), '%Y-%m-%d %H:%M:%S') AS start_s,
+                   strftime(make_timestamp(en.e * 1000000), '%Y-%m-%d %H:%M:%S') AS end_s,
+                   COALESCE(en.e - st.e, -999999) AS diff_s
+            FROM st LEFT JOIN en USING (web_server, was_server, clone_id, jsession, uid)
+        """,
+        "tl_was_recycles": f"""
+            SELECT event_date,
+                   printf('%d:%02d:%02d', secs // 3600, (secs % 3600) // 60, secs % 60) AS time,
+                   source AS jvm
+            FROM {truth} WHERE family = 'was' AND w_code = 'WSVR0001I'
+        """,
+        "tl_gc_events": f"""
+            WITH g AS (SELECT * FROM {truth} WHERE family = 'gc')
+            SELECT source, event_date, g_type AS gc_type,
+                   CAST(g_young_before_kb - g_young_after_kb AS DOUBLE) AS yng_diff_kb,
+                   CASE WHEN g_young_total_kb <> 0
+                        THEN ROUND(g_young_after_kb / g_young_total_kb * 100.0, 4)
+                        ELSE -999999.0 END AS yng_after_pct,
+                   CASE WHEN g_type <> 'GC'
+                        THEN CAST(g_old_before_kb - g_old_after_kb AS DOUBLE)
+                        ELSE -999999.0 END AS old_diff_kb,
+                   CASE WHEN g_type <> 'GC' AND g_old_total_kb <> 0
+                        THEN ROUND(g_old_after_kb / g_old_total_kb * 100.0, 4)
+                        ELSE -999999.0 END AS old_after_pct,
+                   CASE WHEN g_type <> 'GC'
+                        THEN CAST(g_perm_before_kb - g_perm_after_kb AS DOUBLE)
+                        ELSE -999999.0 END AS prm_diff_kb,
+                   CASE WHEN g_type <> 'GC' AND g_perm_total_kb <> 0
+                        THEN ROUND(g_perm_after_kb / g_perm_total_kb * 100.0, 4)
+                        ELSE -999999.0 END AS prm_after_pct,
+                   CAST(g_heap_before_kb - g_heap_after_kb AS DOUBLE) AS hp_diff_kb,
+                   CASE WHEN g_heap_total_kb <> 0
+                        THEN ROUND(g_heap_after_kb / g_heap_total_kb * 100.0, 4)
+                        ELSE -999999.0 END AS hp_after_pct
+            FROM g
         """,
     }

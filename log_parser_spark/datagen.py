@@ -711,6 +711,7 @@ def _gen_gc(n: int, rng: np.random.Generator) -> pd.DataFrame:
             "g_old_before_kb": np.where(is_full, emitted_kb(ob), -1),
             "g_old_after_kb": np.where(is_full, emitted_kb(oa), -1),
             "g_old_total_kb": np.where(is_full, emitted_kb(ot), -1),
+            "g_perm_before_kb": np.where(is_full, emitted_kb(pb), -1),
             "g_perm_after_kb": np.where(is_full, emitted_kb(pa), -1),
             "g_perm_total_kb": np.where(is_full, emitted_kb(pt), -1),
             "g_heap_before_kb": emitted_kb(hb),
