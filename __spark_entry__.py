@@ -702,6 +702,19 @@ def q_near_dup_lsh(spark, sf):
     return near_dup_pairs_lsh(_t(spark, sf, "embeddings"), threshold=0.4, dim=64)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    cluster sizes (iterative min-label propagation; non-SQL-expressible)."""
+    from log_parser_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    return (
+        connected_components(pairs)
+        .groupBy("comp").agg(F.count("*").alias("cluster_size"))
+        .orderBy("comp")
+    )
+
+
 def q_lsh_knn(spark, sf):
     """ANN via multi-table hyperplane LSH (recall-tested vs brute force)."""
     from log_parser_spark.operators.similarity import lsh_knn
@@ -761,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": q_lsh_knn,
         "ivf_knn": q_ivf_knn,
         "near_dup_lsh": q_near_dup_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "tl_sink_counts": tl_sink_counts,
         "tl_status_counts": tl_status_counts,
         "tl_hourly_stats": tl_hourly_stats,

@@ -364,3 +364,60 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ----------------------------------------------------- near-dup clustering
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(id, comp): connected components of the near-dup pair graph via
+    iterative min-label propagation — the step that turns PAIRS into
+    dedup CLUSTERS (keep one doc per component).
+
+    Each iteration is one shuffle (neighbor-min + groupBy-min); labels
+    converge in O(component diameter) rounds, and near-dup components are
+    shallow (a dup cluster's diameter is small by construction), so the
+    driver loop runs a handful of bounded Spark jobs — the documented
+    iterative-algorithm pattern, not a collect()-based loop. Frames persist
+    per round and unpersist after the next one to keep lineage short.
+    """
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    comp = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nb = edges.join(comp, edges["v"] == comp["id"]).select(
+            F.col("u").alias("id"), F.col("comp"))
+        upd = (
+            comp.select("id", "comp").unionByName(nb)
+            .groupBy("id").agg(F.min("comp").alias("new_comp"))
+            .persist()
+        )
+        changed = (
+            comp.join(upd, "id")
+            .filter(F.col("comp") != F.col("new_comp"))
+            .limit(1).count()
+        )
+        old = comp
+        comp = upd.select("id", F.col("new_comp").alias("comp")).persist()
+        old.unpersist()
+        upd.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every non-representative member of each near-dup cluster: the
+    kept doc is the component's min id (matching exact_dedup's keeper
+    convention). Docs not in any pair pass through untouched — one
+    left_anti join against the (small) non-representative set."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

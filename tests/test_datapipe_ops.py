@@ -295,3 +295,34 @@ def test_near_dup_pairs_lsh_recall(spark):
     assert len(e) >= 20  # the plant worked: real pairs exist
     assert a <= e        # cosine-verified -> no false positives
     assert len(a & e) / len(e) >= 0.9, (len(a & e), len(e))
+
+
+def test_connected_components_and_dedup(spark, docs, docs_pd):
+    """Cluster labels must match a python union-find over the same pairs,
+    and keep-one dedup keeps exactly one doc per cluster + all singletons."""
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).persist()
+    got = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+
+    parent: dict = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    pp = pairs.toPandas()
+    for r in pp.itertuples():
+        union(r.id_a, r.id_b)
+    exp = {x: find(x) for x in parent}
+    assert got == exp
+
+    kept = D.dedup_keep_representatives(docs, pairs).toPandas()
+    losers = {x for x, c in exp.items() if x != c}
+    assert set(kept.doc_id) == set(docs_pd.doc_id) - losers
+    # every cluster still has exactly one representative present
+    reps = {c for c in exp.values()}
+    assert reps <= set(kept.doc_id)
+    pairs.unpersist()
