@@ -145,7 +145,7 @@ def main() -> None:
         # kept in the JSON for transparency.
         core_lo = run_core(lo_cores, core_dir, shuffle=max(8, lo_cores))
         core_hi = run_core(hi_cores, core_dir, shuffle=max(8, hi_cores))
-        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
         # stay inside a wall-clock budget: a truncated-but-complete JSON
         # beats a driver-killed run with no JSON at all
         budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "2400"))
@@ -162,7 +162,11 @@ def main() -> None:
                       f"({spent:.0f}s spent)", file=sys.stderr)
                 break
         pairs.sort(key=lambda p: p[2])
-        hi, lo, eff = pairs[len(pairs) // 2]  # median-efficiency pair
+        # True median: lower-middle pair for even counts (conservative —
+        # never reports the better of two), exact middle for odd.
+        hi, lo, eff = pairs[(len(pairs) - 1) // 2]
+        if len(pairs) % 2 == 0:
+            eff = (pairs[len(pairs) // 2 - 1][2] + pairs[len(pairs) // 2][2]) / 2
         his = [p[0] for p in pairs]
         los = [p[1] for p in pairs]
         # the 32-core leg only documents single-socket saturation (BENCH.md)
@@ -179,6 +183,9 @@ def main() -> None:
                 f"local{hi_cores}_wall_s": [r["wall_s"] for r in his],
                 f"local{lo_cores}_wall_s": [r["wall_s"] for r in los],
                 "per_pair_efficiency": [round(p[2], 3) for p in pairs],
+                "efficiency_min": round(pairs[0][2], 3),
+                "efficiency_median": round(eff, 3),
+                "efficiency_max": round(pairs[-1][2], 3),
             },
             "core_job": {f"local{lo_cores}": core_lo, f"local{hi_cores}": core_hi,
                          "efficiency_Nto4N": round(core_eff, 3),

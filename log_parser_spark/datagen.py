@@ -35,6 +35,8 @@ import pyarrow.parquet as pq
 
 N_PER_SF = 10_000_000
 SEED = 42
+# Bump whenever the generated schema/shape changes so cached dirs regenerate.
+DATASET_VERSION = 3
 MAIN_DATE = "2015-06-13"
 PREV_DATE = "2015-06-12"
 DATA_ROOT = os.environ.get("TOKENLOG_DATA_ROOT", "/root/repo/data/tokenlog")
@@ -865,7 +867,8 @@ def materialize(sf: float, out_dir: str | Path, seed: int = SEED) -> Path:
     lk = out / "lookups"
     lk.mkdir(exist_ok=True)
     write_lookups(lk)
-    (out / "_SUCCESS").write_text(f"sf={sf} seed={seed} rows={total_rows}\n")
+    (out / "_SUCCESS").write_text(
+        f"sf={sf} seed={seed} rows={total_rows} v={DATASET_VERSION}\n")
     return out
 
 
@@ -935,10 +938,20 @@ def write_lookups(lk: Path) -> None:
 
 
 def ensure_dataset(sf: float, root: str | Path = DATA_ROOT, seed: int = SEED) -> Path:
-    """Materialize-once cache keyed by (sf, seed)."""
+    """Materialize-once cache keyed by (sf, seed, DATASET_VERSION).
+
+    The version stamp lives in _SUCCESS: when the generator's schema
+    changes (e.g. round 2 added secs/e_mc_cur/e_mc_max/g_perm_before_kb to
+    truth), a stale cached dir would otherwise surface as confusing binder
+    errors in every oracle/test — so a version mismatch regenerates."""
+    import shutil
+
     out = Path(root) / f"sf{sf:g}"
-    if (out / "_SUCCESS").exists():
-        return out
+    marker = out / "_SUCCESS"
+    if marker.exists():
+        if f" v={DATASET_VERSION}" in marker.read_text():
+            return out
+        shutil.rmtree(out)  # stale schema version — regenerate
     return materialize(sf, out, seed)
 
 

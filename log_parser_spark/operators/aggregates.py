@@ -133,15 +133,21 @@ def domain_daily_summary(access: DataFrame) -> DataFrame:
     )
 
 
-def whereuid_sessions(access: DataFrame, clone_map: DataFrame) -> DataFrame:
+def whereuid_sessions(
+    access: DataFrame,
+    clone_map: DataFrame,
+    login_uri: str | None = None,
+    logout_uri: str | None = None,
+) -> DataFrame:
     """'Where the user is' report (webAccessLogParser.sh:715-720,1273-1295):
     per (web_server, was, clone_id, jsession, uid) the LAST login time, LAST
     logout time (or null, printed 'na' by the reference) and their diff.
-    AWK overwrite semantics -> max_by on file position (doc_id)."""
+    AWK overwrite semantics -> max_by on file position (doc_id). Boundary
+    predicates are exact-path like the reference (see _session_marks)."""
     from .enrich import enrich_clone
 
-    login = F.col("uri_path").endswith("loginRoleSelect.xhtml")
-    logout = F.col("params").contains("logout=true")
+    login, logout = _session_marks(
+        login_uri or SESSION_LOGIN_URI, logout_uri or SESSION_LOGOUT_URI)
     ts = F.to_timestamp(F.col("ts_raw"), P.ACCESS_TS_FMT)
     df = enrich_clone(
         access.filter(F.col("jsession") != "-").filter(login | logout), clone_map
@@ -381,15 +387,34 @@ def domain_hour_users(access: DataFrame) -> DataFrame:
     )
 
 
-def sessionization(access: DataFrame) -> DataFrame:
+# Session boundary predicates (webAccessLogParser.sh:715-719): the reference
+# requires EXACT uriPath equality for login, and exact Portal-path equality
+# AND a logout=true param for logout — a logout=true on any other URL must
+# NOT close a session. Paths here are this repo's datagen vocabulary;
+# override per deployment via the keyword args on the operators below.
+SESSION_LOGIN_URI = "/secMgmt/roleSelect/loginRoleSelect.xhtml"
+SESSION_LOGOUT_URI = "/secMgmt/Portal"
+
+
+def _session_marks(login_uri: str, logout_uri: str):
+    login = F.col("uri_path") == login_uri
+    logout = (F.col("uri_path") == logout_uri) & F.col("params").rlike(
+        "logout=true")
+    return login, logout
+
+
+def sessionization(
+    access: DataFrame,
+    login_uri: str = SESSION_LOGIN_URI,
+    logout_uri: str = SESSION_LOGOUT_URI,
+) -> DataFrame:
     """J5: login/logout pairing per (clone_id, jsession, uid): duration or open
     (webAccessLogParser.sh:715-720,1273-1295).
 
     Spark-first: one hash aggregate with conditional min/max — no as-of join
     needed because the key is exact.
     """
-    login = F.col("uri_path").endswith("loginRoleSelect.xhtml")
-    logout = F.col("params").contains("logout=true")
+    login, logout = _session_marks(login_uri, logout_uri)
     ts = F.to_timestamp(F.col("ts_raw"), P.ACCESS_TS_FMT)
     return (
         access.filter(F.col("jsession") != "-")

@@ -379,6 +379,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     driver loop runs a handful of bounded Spark jobs — the documented
     iterative-algorithm pattern, not a collect()-based loop. Frames persist
     per round and unpersist after the next one to keep lineage short.
+
+    If the loop exhausts ``max_iter`` with labels still changing (a
+    component whose diameter exceeds the budget), a RuntimeError is raised
+    rather than silently returning partial labels — partial labels would
+    make ``dedup_keep_representatives`` keep several docs of one cluster
+    (silent under-dedup). Raise the budget (diameter rounds, not data
+    size) or pre-split giant components if this fires.
+
+    The returned frame is persisted; callers that don't hold onto it
+    should ``.unpersist()`` it once their downstream plan has run.
     """
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
@@ -406,6 +416,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         upd.unpersist()
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        comp.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component's diameter exceeds the budget); raise max_iter "
+            "or pre-split the pair graph"
+        )
     edges.unpersist()
     return comp
 
@@ -418,6 +436,11 @@ def dedup_keep_representatives(
     convention). Docs not in any pair pass through untouched — one
     left_anti join against the (small) non-representative set."""
     comp = connected_components(pairs)
+    # Materialize the (small) non-representative set so the big comp
+    # frame can be released before the anti-join plan runs — the comp
+    # cache would otherwise leak one DataFrame per call.
     losers = comp.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col))
+        F.col("id").alias(id_col)).persist()
+    losers.count()
+    comp.unpersist()
     return docs.join(losers, id_col, "left_anti")

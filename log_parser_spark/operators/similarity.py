@@ -143,17 +143,22 @@ def lsh_knn(
 # ---------------------------------------------------------------------- IVF
 
 def _kmeans_fit(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
-    """Tiny deterministic k-means on the driver (training is on a bounded
-    sample; assignment stays distributed). Lloyd's with kmeans++-lite init."""
+    """Tiny deterministic SPHERICAL k-means on the driver (training is on a
+    bounded sample; assignment stays distributed). X must be row-normalized;
+    centroids are re-normalized after every Lloyd step so training assigns
+    by the same cosine metric the serving UDFs use (a Euclidean/cosine
+    train-serve mismatch costs recall). k is clamped to the sample size."""
     rng = np.random.RandomState(seed)
+    k = min(k, len(X))
     C = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)  # (n, k)
-        assign = d.argmin(1)
+        assign = (X @ C.T).argmax(1)  # cosine on normalized rows
         for j in range(k):
             m = assign == j
             if m.any():
                 C[j] = X[m].mean(0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     return C
 
 

@@ -138,18 +138,23 @@ def sessionization_stream(parsed: DataFrame) -> DataFrame:
 
     from ..functions import patterns as P
 
+    from ..operators.aggregates import (
+        SESSION_LOGIN_URI, SESSION_LOGOUT_URI)
+
+    is_login = F.col("a_uri_path") == SESSION_LOGIN_URI
+    is_logout = (F.col("a_uri_path") == SESSION_LOGOUT_URI) & F.col(
+        "a_params").rlike("logout=true")
     access = parsed.filter(
         (F.col("family") == "access")
         & (F.col("a_jsession") != "-")
-        & (F.col("a_uri_path").endswith("loginRoleSelect.xhtml")
-           | F.col("a_params").contains("logout=true"))
+        & (is_login | is_logout)
     ).select(
         F.col("a_clone_id").alias("clone_id"),
         F.col("a_jsession").alias("jsession"),
         F.col("a_uid").alias("uid"),
         F.unix_timestamp(
             F.to_timestamp(F.col("a_ts_raw"), P.ACCESS_TS_FMT)).alias("epoch"),
-        F.col("a_uri_path").endswith("loginRoleSelect.xhtml").alias("is_login"),
+        is_login.alias("is_login"),
     )
 
     out_schema = (
