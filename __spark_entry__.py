@@ -663,6 +663,28 @@ def tl_gc_events(spark, sf):
     )
 
 
+def tl_gc_violations(spark, sf):
+    """A24 per-prefix-scoped post-FullGC old/perm threshold violations
+    (javaGCStatsParser.sh:476-510): each JVM judged against ITS class's
+    configured threshold; unconfigured classes (jvm.Bat here) count zero.
+    Null (unconfigured) thresholds project to a -1.0 sentinel for hashing."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators import alerts as AL
+    from log_parser_spark.operators.parse import parsed_family
+    from log_parser_spark.sources.token_table import read_lookup
+
+    classified, d = _tokenlog(spark)
+    th = AL.thresholds_dict(read_lookup(spark, d, "thresholds"))
+    out = A.gc_threshold_violations(parsed_family(classified, "gc"), th)
+    return out.select(
+        "jvm",
+        F.coalesce("old_gen_th", F.lit(-1.0)).alias("old_gen_th"),
+        "old_gen_viol",
+        F.coalesce("perm_gen_th", F.lit(-1.0)).alias("perm_gen_th"),
+        "perm_gen_viol",
+    )
+
+
 def q_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs (xxhash64-based; verified vs py oracle in tests)."""
     from log_parser_spark.operators.dedup import minhash_lsh_pairs
@@ -791,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tl_whereuid": tl_whereuid,
         "tl_was_recycles": tl_was_recycles,
         "tl_gc_events": tl_gc_events,
+        "tl_gc_violations": tl_gc_violations,
     }
 
 
@@ -1135,6 +1158,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN fgc_cnt + fgc_sys_cnt > 0
                         THEN ROUND(fgc_real_s / (fgc_cnt + fgc_sys_cnt), 4) ELSE 0.0 END AS avg_fgc_real_s
             FROM b
+        """,
+        "tl_gc_violations": f"""
+            WITH th AS (
+                SELECT
+                    MAX(CASE WHEN property = 'fgcOldGenAfTh' AND target = 'jvm.App' THEN value END) AS app_old,
+                    MAX(CASE WHEN property = 'fgcPGenAfTh' AND target = 'jvm.App' THEN value END) AS app_perm,
+                    MAX(CASE WHEN property = 'fgcOldGenAfTh' AND target = 'jvm.Bat' THEN value END) AS bat_old,
+                    MAX(CASE WHEN property = 'fgcPGenAfTh' AND target = 'jvm.Bat' THEN value END) AS bat_perm
+                FROM {thresholds}),
+            g AS (
+                SELECT source AS jvm,
+                       CASE WHEN source LIKE 'jvmapp%' THEN th.app_old
+                            WHEN source LIKE 'jvmbat%' THEN th.bat_old END AS old_th,
+                       CASE WHEN source LIKE 'jvmapp%' THEN th.app_perm
+                            WHEN source LIKE 'jvmbat%' THEN th.bat_perm END AS perm_th,
+                       g_old_after_kb, g_perm_after_kb
+                FROM {truth}, th WHERE family = 'gc' AND g_type <> 'GC')
+            SELECT jvm,
+                   COALESCE(MAX(old_th), -1.0) AS old_gen_th,
+                   CAST(SUM(CASE WHEN old_th IS NOT NULL AND g_old_after_kb > old_th THEN 1 ELSE 0 END) AS BIGINT) AS old_gen_viol,
+                   COALESCE(MAX(perm_th), -1.0) AS perm_gen_th,
+                   CAST(SUM(CASE WHEN perm_th IS NOT NULL AND g_perm_after_kb > perm_th THEN 1 ELSE 0 END) AS BIGINT) AS perm_gen_viol
+            FROM g GROUP BY jvm
         """,
         "tl_was_events": f"""
             SELECT source, w_evt AS evt, COUNT(*) AS cnt

@@ -716,15 +716,52 @@ def gc_last_record(gc: DataFrame) -> DataFrame:
     )
 
 
-def gc_threshold_violations(gc: DataFrame, old_gen_th: float, perm_gen_th: float) -> DataFrame:
+GC_SCOPES: tuple[tuple[str, str], ...] = (("jvm.App", "jvmapp"), ("jvm.Bat", "jvmbat"))
+
+
+def gc_threshold_violations(
+    gc: DataFrame,
+    thresholds: dict[tuple[str, str], float],
+    scopes: tuple[tuple[str, str], ...] = GC_SCOPES,
+) -> DataFrame:
     """A24: counts of post-FullGC old/perm occupancy above thresholds per JVM
-    (javaGCStatsParser.sh:481-510)."""
-    fgc = gc.filter(F.col("gc_type") != "GC")
+    (javaGCStatsParser.sh:476-510).
+
+    Thresholds are scoped PER JVM PREFIX like the reference's
+    ``substr(pName,1,3)`` key (``jvm.<prefix>.fgcOldGenAfTh``): each JVM is
+    judged against ITS class's configured value, and — also like the
+    reference — an unconfigured (empty) threshold counts no violations at
+    all for that class. ``thresholds`` is the tiny driver-side
+    (property, scope)->value dict (alerts.thresholds_dict); the scope is
+    resolved as a literal CASE column, so the whole thing stays one
+    JVM-side hash aggregate — no join, no Python."""
+    old_th = F.lit(None).cast("double")
+    perm_th = F.lit(None).cast("double")
+    for cls, pfx in scopes:
+        ot = thresholds.get(("fgcOldGenAfTh", cls))
+        pt = thresholds.get(("fgcPGenAfTh", cls))
+        pred = F.col("source").startswith(pfx)
+        if ot is not None:
+            old_th = F.when(pred, F.lit(float(ot))).otherwise(old_th)
+        if pt is not None:
+            perm_th = F.when(pred, F.lit(float(pt))).otherwise(perm_th)
+    fgc = gc.filter(F.col("gc_type") != "GC").withColumn(
+        "old_th", old_th).withColumn("perm_th", perm_th)
     return (
         fgc.groupBy(F.col("source").alias("jvm"))
         .agg(
-            F.sum(F.when(F.col("old_after_kb") > old_gen_th, 1).otherwise(0)).alias("old_gen_viol"),
-            F.sum(F.when(F.col("perm_after_kb") > perm_gen_th, 1).otherwise(0)).alias("perm_gen_viol"),
+            F.first("old_th").alias("old_gen_th"),
+            F.sum(
+                F.when(F.col("old_th").isNotNull()
+                       & (F.col("old_after_kb") > F.col("old_th")), 1)
+                .otherwise(0)
+            ).alias("old_gen_viol"),
+            F.first("perm_th").alias("perm_gen_th"),
+            F.sum(
+                F.when(F.col("perm_th").isNotNull()
+                       & (F.col("perm_after_kb") > F.col("perm_th")), 1)
+                .otherwise(0)
+            ).alias("perm_gen_viol"),
         )
         .orderBy("jvm")
     )

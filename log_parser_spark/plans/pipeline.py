@@ -199,11 +199,7 @@ def _gc_reports(gc: DataFrame, th: dict) -> dict[str, DataFrame]:
     return {
         "gc_daily": A.gc_daily_stats(gc),
         "gc_last": A.gc_last_record(gc),
-        "gc_violations": A.gc_threshold_violations(
-            gc,
-            th.get(("fgcOldGenAfTh", "jvm.App"), 4_700_000.0),
-            th.get(("fgcPGenAfTh", "jvm.App"), 2_097_152.0),
-        ),
+        "gc_violations": A.gc_threshold_violations(gc, th),
     }
 
 

@@ -323,3 +323,32 @@ def test_gc_event_metrics(gc_df, truth):
     exp_pct = (full.g_heap_after_kb / full.g_heap_total_kb * 100).round(4)
     assert abs(got["hp_after_pct"].sum()
                - (t.g_heap_after_kb / t.g_heap_total_kb * 100).round(4).sum()) < 1e-3
+
+
+def test_gc_threshold_violations_scoped_per_prefix(gc_df, truth):
+    """A24 (javaGCStatsParser.sh:476-488): thresholds resolve per JVM prefix
+    class, and an unconfigured class counts ZERO violations (empty AWK
+    threshold skips the comparison). Two prefixes, different thresholds."""
+    th = {
+        ("fgcOldGenAfTh", "jvm.App"): 4_700_000.0,
+        ("fgcPGenAfTh", "jvm.App"): 2_097_152.0,
+        # deliberately STRICTER Bat old-gen threshold; Bat perm unconfigured
+        ("fgcOldGenAfTh", "jvm.Bat"): 2_000_000.0,
+    }
+    got = A.gc_threshold_violations(gc_df, th).toPandas().set_index("jvm")
+    t = truth[(truth.family == "gc") & (truth.event_date == MAIN_DATE)
+              & (truth.g_type != "GC")]
+    for jvm, grp in t.groupby("source"):
+        if jvm.startswith("jvmapp"):
+            exp_old = int((grp.g_old_after_kb > 4_700_000.0).sum())
+            exp_perm = int((grp.g_perm_after_kb > 2_097_152.0).sum())
+        else:  # jvmbat: strict old threshold, NO perm threshold -> 0
+            exp_old = int((grp.g_old_after_kb > 2_000_000.0).sum())
+            exp_perm = 0
+        assert int(got.loc[jvm, "old_gen_viol"]) == exp_old, jvm
+        assert int(got.loc[jvm, "perm_gen_viol"]) == exp_perm, jvm
+    # a Bat JVM judged against the App threshold would differ: prove the
+    # scoping matters on this dataset (bat rows exceed 2M but not 4.7M)
+    bat = t[t.source.str.startswith("jvmbat")]
+    assert (bat.g_old_after_kb > 2_000_000.0).sum() > (
+        bat.g_old_after_kb > 4_700_000.0).sum()
