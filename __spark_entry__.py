@@ -725,11 +725,16 @@ def q_near_dup_lsh(spark, sf):
 
 
 def q_dedup_clusters(spark, sf):
-    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
-    cluster sizes (iterative min-label propagation; non-SQL-expressible)."""
-    from log_parser_spark.operators.dedup import connected_components, minhash_lsh_pairs
+    """Near-dup clusters: word-3-gram Jaccard pairs -> connected components
+    -> cluster sizes (iterative min-label propagation on Spark; the DuckDB
+    oracle replays it as a WITH RECURSIVE transitive closure + min label).
+    The edge set is the SQL-replayable ngram_jaccard_pairs so the whole
+    query is hash-checkable; the MinHash edge variant stays exercised by
+    q_minhash_lsh + pytest."""
+    from log_parser_spark.operators.dedup import (
+        connected_components, ngram_jaccard_pairs)
 
-    pairs = minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.5)
     return (
         connected_components(pairs)
         .groupBy("comp").agg(F.count("*").alias("cluster_size"))
@@ -1110,6 +1115,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, COUNT(*) AS cnt,
                    ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_x0
             FROM embeddings GROUP BY label
+        """,
+        # Word-3-gram Jaccard pairs: DuckDB list ops replay Spark's
+        # word_ngrams (1-based inclusive slice == F.slice; k<n -> one
+        # short gram) and the uncapped inverted-index count IS the exact
+        # intersection size.
+        "ngram_jaccard": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, greatest(len(ws) - 2, 1) + 1),
+                             i -> array_to_string(ws[i:i+2], ' '))) AS grams
+                  FROM w),
+            e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gr FROM g),
+            c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.ng AS na, b.ng AS nb, COUNT(*) AS common
+                  FROM e a JOIN e b ON a.gr = b.gr AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   ROUND(common / (na + nb - common), 6) AS jaccard
+            FROM c WHERE ROUND(common / (na + nb - common), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        # Connected components over the same pair graph: WITH RECURSIVE
+        # transitive closure + min reachable label == Spark's iterative
+        # min-label propagation.
+        "dedup_clusters": r"""
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                             range(1, greatest(len(ws) - 2, 1) + 1),
+                             i -> array_to_string(ws[i:i+2], ' '))) AS grams
+                  FROM w),
+            e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gr FROM g),
+            c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.ng AS na, b.ng AS nb, COUNT(*) AS common
+                  FROM e a JOIN e b ON a.gr = b.gr AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+            p AS (SELECT id_a, id_b FROM c
+                  WHERE ROUND(common / (na + nb - common), 6) >= 0.5),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT ed.u, re.r FROM edges ed JOIN reach re ON ed.v = re.id)
+            SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+            GROUP BY comp ORDER BY comp
         """,
         # ------------------------------------------------------------ tl_*
         # Tokenlog-pipeline oracles over the SAME deterministic dataset's
