@@ -685,6 +685,19 @@ def tl_gc_violations(spark, sf):
     )
 
 
+def tl_discard_counts(spark, sf):
+    """Reference keeps DISTINCT `.discarded` and `.unknownua` review files
+    (webAccessLogParser.sh:646-653,680-683); this surfaces each sub-count
+    separately: unmatched subtypes + unknown-UA access records."""
+    from log_parser_spark.operators import aggregates as A
+    from log_parser_spark.operators.parse import parsed_family
+
+    classified, _ = _tokenlog(spark)
+    access = parsed_family(classified, "access").filter(
+        F.col("category") == "access")
+    return A.discard_summary(classified, access)
+
+
 def q_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup pairs (xxhash64-based; verified vs py oracle in tests)."""
     from log_parser_spark.operators.dedup import minhash_lsh_pairs
@@ -819,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tl_was_recycles": tl_was_recycles,
         "tl_gc_events": tl_gc_events,
         "tl_gc_violations": tl_gc_violations,
+        "tl_discard_counts": tl_discard_counts,
     }
 
 
@@ -1237,6 +1251,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(MAX(perm_th), -1.0) AS perm_gen_th,
                    CAST(SUM(CASE WHEN perm_th IS NOT NULL AND g_perm_after_kb > perm_th THEN 1 ELSE 0 END) AS BIGINT) AS perm_gen_viol
             FROM g GROUP BY jvm
+        """,
+        "tl_discard_counts": f"""
+            SELECT reason, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT CASE WHEN family = 'garbage' THEN 'garbage'
+                            WHEN a_broken THEN 'parse_miss'
+                            WHEN a_browser = 'curl' THEN 'curl'
+                            ELSE 'no_uid' END AS reason
+                FROM {truth} WHERE category = 'unmatched'
+                UNION ALL
+                SELECT 'unknownua' AS reason
+                FROM {truth}
+                WHERE family = 'access' AND category = 'access'
+                  AND a_browser = 'Other'
+            ) GROUP BY reason ORDER BY reason
         """,
         "tl_was_events": f"""
             SELECT source, w_evt AS evt, COUNT(*) AS cnt

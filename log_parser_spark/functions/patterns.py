@@ -26,7 +26,11 @@ FAMILY_DETECT: dict[str, str] = {
     "gc": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}",
     "was": r"^\[\d{1,2}/\d{1,2}/\d{2} \d{1,2}:\d{2}:\d{2}:\d{3} [A-Z]{2,4}\]",
     "weberror": r"^\[[A-Z][a-z]{2} [A-Z][a-z]{2} \d{1,2} \d{2}:\d{2}:\d{2} \d{4}\]",
-    "access": r'^\S+ \S+ \S+ \[\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}\] "',
+    # COARSE gate: host + ident/user + '[dd/Mon' is enough to claim the
+    # access family — a mid-timestamp-truncated record must still route to
+    # this family (as a parse miss, discard_reason='parse_miss') rather
+    # than to garbage; the full ACCESS grok below stays strict.
+    "access": r"^\S+ \S+ \S+ \[\d{2}/[A-Z][a-z]{2}/",
 }
 
 # ---------------------------------------------------------------------------

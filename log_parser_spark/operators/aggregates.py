@@ -39,6 +39,25 @@ def _xcl(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- access
 
+def discard_summary(classified: DataFrame, access: DataFrame) -> DataFrame:
+    """Reference's distinct `.discarded` and `.unknownua` side-file counts
+    as one report (webAccessLogParser.sh:646-653,680-683): per-subtype
+    unmatched counts (curl / no_uid / parse_miss / garbage) plus the count
+    of PARSED access records whose UA fell through the 16-case classifier
+    (those are kept in the access sink with browser='Other', exactly like
+    the reference keeps processing them — unknownua is a review count, not
+    a discard)."""
+    reasons = (
+        classified.filter(F.col("category") == "unmatched")
+        .groupBy(F.col("discard_reason").alias("reason"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    unk = access.filter(F.col("browser") == "Other").select(
+        F.lit("unknownua").alias("reason")
+    ).groupBy("reason").agg(F.count("*").alias("cnt"))
+    return reasons.unionByName(unk).orderBy("reason")
+
+
 def status_counts(access: DataFrame) -> DataFrame:
     """A1: count by HTTP response code + pct of total
     (webAccessLogParser.sh:723,1176-1184)."""

@@ -85,7 +85,22 @@ def classify(df: DataFrame, line_col: str = "line") -> DataFrame:
               F.when(err_level.isin("error", "crit", "alert"), "error").otherwise("audit"))
         .otherwise("audit")  # gc
     )
-    return df.withColumn("category", category)
+    # Unmatched subtype (reference keeps DISTINCT side files: `.discarded`
+    # for curl/no-UID records, webAccessLogParser.sh:680-683, vs the raw
+    # parse misses) — carried as a column so each sub-count is separately
+    # reportable from the single unmatched sink. parse_miss outranks the
+    # discard reasons: a truncated line's extracted UA/UID aren't
+    # trustworthy, and the reference's discard branch only ever sees
+    # successfully-split records.
+    discard_reason = (
+        F.when(F.col("family") == "garbage", "garbage")
+        .when(F.col("family") == "access",
+              F.when(~access_hit, "parse_miss")
+              .when(ua.startswith("curl/"), "curl")
+              .when((uid == "-") | (uid == ""), "no_uid"))
+    )
+    return df.withColumn("category", category).withColumn(
+        "discard_reason", discard_reason)
 
 
 # --------------------------------------------------------------------------

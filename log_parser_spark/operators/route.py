@@ -20,9 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SINKS = ["access", "error", "audit", "unmatched"]
+# closed vocabulary of unmatched subtypes (operators/parse.classify)
+DISCARD_REASONS = ["curl", "no_uid", "parse_miss", "garbage"]
 # line is the 1-byte/char view of the token array (exact bijection — see
 # functions/detokenize.retokenize_udf); n_tok preserved for accounting.
-SINK_COLUMNS = ["doc_id", "line", "n_tok", "source", "family", "category"]
+SINK_COLUMNS = ["doc_id", "line", "n_tok", "source", "family", "category",
+                "discard_reason"]
 
 
 def salted(df: DataFrame, num_partitions: int, *keys: str, salt_buckets: int = 64) -> DataFrame:
@@ -59,6 +62,11 @@ def lineage_frame(classified: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("rows"),
             F.collect_set("input_file").alias("files"),
+            *[
+                F.sum(F.when(F.col("discard_reason") == r, 1).otherwise(0))
+                .alias(f"dr_{r}")
+                for r in DISCARD_REASONS
+            ],
         )
     )
     return (
@@ -71,5 +79,11 @@ def lineage_frame(classified: DataFrame) -> DataFrame:
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("category"), F.col("rows")))
             ).alias("sink_counts"),
+            # reference's .discarded vs parse-miss/garbage split, per
+            # partition (webAccessLogParser.sh:680-683)
+            F.map_from_arrays(
+                F.array(*[F.lit(r) for r in DISCARD_REASONS]),
+                F.array(*[F.sum(f"dr_{r}") for r in DISCARD_REASONS]),
+            ).alias("discard_counts"),
         )
     )

@@ -320,6 +320,8 @@ def run_pipeline(
     reports: dict[str, DataFrame] = {}
     if rpttype in ("all", "web"):
         reports.update(_access_reports(access, lookups, persisted))
+        reports["discard_summary"] = A.discard_summary(
+            classified.filter(date_gate), access)
     if rpttype in ("all", "was"):
         reports.update(_was_reports(was, lookups))
     if rpttype in ("all", "err"):

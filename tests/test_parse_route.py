@@ -147,3 +147,29 @@ def test_token_array_equality_per_surviving_row(classified, dataset_dir, spark):
     n_bad = joined.filter(F.col("tokens") != F.col("tokens_in")).count()
     assert n_bad == 0
     assert joined.count() == original.count()
+
+
+def test_discard_summary_matches_truth(classified, truth):
+    """Reference keeps separate .discarded / .unknownua review counts
+    (webAccessLogParser.sh:646-653,680-683): each subtype must be
+    separately reportable from the single unmatched sink."""
+    from log_parser_spark.operators.aggregates import discard_summary
+
+    access = parsed_family(classified, "access").filter(F.col("category") == "access")
+    got = {r["reason"]: r["cnt"]
+           for r in discard_summary(classified, access).collect()}
+
+    t = truth
+    unm = t[t.category == "unmatched"]
+    exp = {
+        "garbage": int((unm.family == "garbage").sum()),
+        "parse_miss": int(((unm.family == "access") & unm.a_broken.fillna(False)).sum()),
+        "curl": int(((unm.family == "access") & ~unm.a_broken.fillna(False)
+                     & (unm.a_browser == "curl")).sum()),
+        "no_uid": int(((unm.family == "access") & ~unm.a_broken.fillna(False)
+                       & (unm.a_browser != "curl")).sum()),
+        "unknownua": int(((t.category == "access")
+                          & (t.a_browser == "Other")).sum()),
+    }
+    exp = {k: v for k, v in exp.items() if v > 0}
+    assert got == exp, (got, exp)
