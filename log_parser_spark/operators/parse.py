@@ -622,7 +622,23 @@ def _classify_fused_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             esub["level"].isin(["error", "crit", "alert"]), "error", "audit"
         )
 
-    res = pd.DataFrame({"line": line, "family": family, "category": category})
+    # unmatched subtype (same semantics as expression classify(); parse_miss
+    # outranks curl/no_uid — a truncated line's UA/UID aren't trustworthy)
+    discard = pd.Series([None] * n, index=idx, dtype=object)
+    discard[family == "garbage"] = "garbage"
+    if asub is not None:
+        dr = pd.Series([None] * len(asub), index=asub.index, dtype=object)
+        is_curl = ua.str.startswith("curl/")
+        no_uid = (uid == "-") | (uid == "")
+        dr[hit & is_curl] = "curl"
+        dr[hit & ~is_curl & no_uid] = "no_uid"
+        dr[~hit] = "parse_miss"
+        discard[amask] = dr
+
+    res = pd.DataFrame({
+        "line": line, "family": family, "category": category,
+        "discard_reason": discard,
+    })
     for k, v in out.items():
         res[k] = v
     return res
@@ -637,6 +653,7 @@ def fused_schema(input_schema: T.StructType, keep_tokens: bool) -> T.StructType:
         T.StructField("line", T.StringType()),
         T.StructField("family", T.StringType()),
         T.StructField("category", T.StringType()),
+        T.StructField("discard_reason", T.StringType()),
     ]
     for fam, pfx in _FAMILY_PREFIX.items():
         fields += [

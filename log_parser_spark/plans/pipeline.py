@@ -320,8 +320,11 @@ def run_pipeline(
     reports: dict[str, DataFrame] = {}
     if rpttype in ("all", "web"):
         reports.update(_access_reports(access, lookups, persisted))
-        reports["discard_summary"] = A.discard_summary(
-            classified.filter(date_gate), access)
+        # No date gate on the unmatched side: garbage/parse-miss rows have no
+        # trustworthy event date (the reference counts discards per input
+        # file set, sh:680-683), and the snapshot read is already scoped to
+        # this run. The unknownua review count rides the date-gated access.
+        reports["discard_summary"] = A.discard_summary(classified, access)
     if rpttype in ("all", "was"):
         reports.update(_was_reports(was, lookups))
     if rpttype in ("all", "err"):

@@ -31,6 +31,23 @@ def test_family_and_category_match_truth(classified, truth):
     assert fam_bad.empty, fam_bad.head(10).to_string()
 
 
+def test_fused_parse_matches_expression_classify(classified, token_df):
+    """The fused Arrow kernel (the pipeline's parse path) must agree with the
+    expression-based classify() on routing AND the unmatched subtype —
+    they are two implementations of the same router."""
+    from log_parser_spark.operators.parse import fused_parse
+
+    fused = fused_parse(token_df).select(
+        "doc_id", "family", "category", "discard_reason").toPandas()
+    expr = classified.select(
+        "doc_id", "family", "category", "discard_reason").toPandas()
+    m = fused.merge(expr, on="doc_id", suffixes=("_f", "_e"))
+    assert len(m) == len(expr)
+    for c in ("family", "category", "discard_reason"):
+        bad = m[m[f"{c}_f"].fillna("") != m[f"{c}_e"].fillna("")]
+        assert bad.empty, (c, bad.head(10).to_string())
+
+
 def test_sink_union_equals_input(classified, truth):
     # counts conservation: rows_in == sum over sinks (A25 / north rule)
     counts = {r["category"]: r["cnt"] for r in
@@ -163,10 +180,10 @@ def test_discard_summary_matches_truth(classified, truth):
     unm = t[t.category == "unmatched"]
     exp = {
         "garbage": int((unm.family == "garbage").sum()),
-        "parse_miss": int(((unm.family == "access") & unm.a_broken.fillna(False)).sum()),
-        "curl": int(((unm.family == "access") & ~unm.a_broken.fillna(False)
+        "parse_miss": int(((unm.family == "access") & unm.a_broken.eq(True)).sum()),
+        "curl": int(((unm.family == "access") & ~unm.a_broken.eq(True)
                      & (unm.a_browser == "curl")).sum()),
-        "no_uid": int(((unm.family == "access") & ~unm.a_broken.fillna(False)
+        "no_uid": int(((unm.family == "access") & ~unm.a_broken.eq(True)
                        & (unm.a_browser != "curl")).sum()),
         "unknownua": int(((t.category == "access")
                           & (t.a_browser == "Other")).sum()),
