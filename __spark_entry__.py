@@ -709,7 +709,10 @@ def q_simhash_pairs(spark, sf):
     """SimHash near-dup pairs (bit-vote; property-tested)."""
     from log_parser_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf, "documents"), max_hamming=8)
+    # expected_docs sizes the pigeonhole-bucket guard: the sf test corpora
+    # are < 100k docs, far under the per-bucket hazard bound.
+    return simhash_near_dups(
+        _t(spark, sf, "documents"), max_hamming=8, expected_docs=100_000)
 
 
 def q_ngram_jaccard(spark, sf):

@@ -17,6 +17,8 @@ parity at test scale and is guarded by a candidate join on shared n-grams.
 from __future__ import annotations
 
 import hashlib
+import logging
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -293,18 +295,21 @@ def _simhash_kernel(text: pd.Series) -> pd.Series:
     return pd.Series(sh.astype(np.int64), index=text.index)
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+def simhash(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """64-bit SimHash: per-word 64-bit hash, bit-vote, sign -> bit.
 
     Vectorized Arrow kernel: each unique word hashed once per batch, votes
     via numpy segment-reduce, bit-pack in 64 vector ops. (The reference has
-    no such operator; this is the training-data near-dup path.)"""
+    no such operator; this is the training-data near-dup path.)
+
+    ``keep_cols`` are carried through unchanged (used by the partitioned
+    near-dup path to keep its pre-partition key next to the signature)."""
 
     @F.pandas_udf(T.LongType())
     def sh_udf(text: pd.Series) -> pd.Series:
         return _simhash_kernel(text)
 
-    return docs.select("doc_id", sh_udf("text").alias("simhash"))
+    return docs.select("doc_id", *keep_cols, sh_udf("text").alias("simhash"))
 
 
 def hamming64(a, b):
@@ -323,7 +328,16 @@ def _block_spec(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return list(zip(offs, widths))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+_LOG = logging.getLogger(__name__)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    expected_docs: int | None = None,
+    partition_cols: tuple[str, ...] = (),
+    max_expected_bucket: int = 50_000,
+) -> DataFrame:
     """ALL pairs with SimHash hamming distance <= max_hamming, via pigeonhole
     multi-block indexing: the 64 bits split into ``max_hamming + 1`` blocks,
     so any pair within distance max_hamming agrees EXACTLY on at least one
@@ -331,17 +345,50 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     never an all-pairs join. Candidate volume is bounded by the per-block
     bucket sizes; the hamming filter then verifies exactly.
 
-    Sizing note for 100 TB: max_hamming+1 blocks over 64 bits means ~7-bit
+    Sizing guard for 100 TB: max_hamming+1 blocks over 64 bits means ~7-bit
     blocks at max_hamming=8 — only 128 bucket values per table, so bucket
-    sizes grow linearly with the corpus. At large scale either lower
-    max_hamming (wider blocks: max_hamming=3 -> 16-bit blocks) or compose
-    with a pre-partition on a cheap exact key; the scheme stays recall-1.0
-    either way.
+    sizes grow linearly with the corpus and the per-bucket self-join trends
+    toward N^2/128. When the narrowest block is under 12 bits, this function
+    enforces the documented mitigations instead of degrading silently:
+
+    * pass ``expected_docs`` (approximate corpus size) — if the implied
+      per-bucket population exceeds ``max_expected_bucket``, a
+      ``RuntimeWarning`` spells out the two fixes (lower ``max_hamming``
+      for wider blocks: max_hamming=3 -> 16-bit blocks; or pre-partition);
+    * pass ``partition_cols`` — an exact pre-partition key (language,
+      domain, shard...) joined alongside (blk, val), which bounds every
+      bucket to one partition's population. Recall stays 1.0 *within* a
+      partition; pairs straddling partition values are deliberately out of
+      scope (pick a key near-dups share);
+    * with neither, a log-level warning records that the candidate join is
+      unsized.
 
     (The round-1 version bucketed on ONE 16-bit block and silently missed
     any pair whose differing bits touched bits 48-63.)"""
     n_blocks = max_hamming + 1
-    sh = simhash(docs)
+    min_width = 64 // n_blocks
+    partition_cols = tuple(partition_cols)
+    if not partition_cols and min_width < 12:
+        n_buckets = 1 << min_width
+        if expected_docs is not None and expected_docs / n_buckets > max_expected_bucket:
+            warnings.warn(
+                f"simhash_near_dups: max_hamming={max_hamming} -> {n_blocks} blocks of "
+                f"as few as {min_width} bits ({n_buckets} bucket values per table); at "
+                f"~{expected_docs:,} docs each bucket holds ~{expected_docs // n_buckets:,} "
+                f"docs and the per-bucket self-join degenerates toward N^2/{n_buckets}. "
+                "Lower max_hamming (3 -> 16-bit blocks) or pass partition_cols= with an "
+                "exact pre-partition key (recall stays 1.0 within each partition).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        elif expected_docs is None:
+            _LOG.warning(
+                "simhash_near_dups: narrowest block is %d bits (< 12); pass "
+                "expected_docs= to size the candidate join or partition_cols= "
+                "to bound bucket populations",
+                min_width,
+            )
+    sh = simhash(docs, keep_cols=partition_cols)
     blocks = F.array(*[
         F.struct(
             F.lit(i).alias("blk"),
@@ -350,12 +397,16 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         )
         for i, (off, width) in enumerate(_block_spec(64, n_blocks))
     ])
-    ex = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
-        "doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
-    a = ex.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    pc = list(partition_cols)
+    ex = sh.select("doc_id", *pc, "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", *pc, "simhash",
+        F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = ex.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                  "blk", "val", *pc)
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                  "blk", "val", *pc)
     return (
-        a.join(b, ["blk", "val"])
+        a.join(b, ["blk", "val", *pc])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()

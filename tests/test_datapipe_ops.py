@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -230,6 +232,35 @@ def test_simhash_near_dups_full_recall(docs):
     got = D.simhash_near_dups(docs, max_hamming=max_h).toPandas()
     got_pairs = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in got.itertuples()}
     assert got_pairs == exp  # recall 1.0 AND no extras past the hamming filter
+
+
+def test_simhash_bucket_sizing_guard(docs):
+    """Narrow pigeonhole blocks on a huge corpus must not degrade silently:
+    the operator warns with the documented guidance, and each mitigation
+    (wider blocks via lower max_hamming, or an exact pre-partition key)
+    silences it."""
+    # max_hamming=8 -> 7-bit blocks; 50M docs -> ~390k docs/bucket: warn.
+    with pytest.warns(RuntimeWarning, match="partition_cols"):
+        D.simhash_near_dups(docs, max_hamming=8, expected_docs=50_000_000)
+    # Mitigation 1: max_hamming=3 -> 16-bit blocks, no warning.
+    # Mitigation 2: pre-partition key bounds buckets, no warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        D.simhash_near_dups(docs, max_hamming=3, expected_docs=50_000_000)
+        D.simhash_near_dups(docs, max_hamming=8, expected_docs=50_000_000,
+                            partition_cols=("lang",))
+
+
+def test_simhash_near_dups_partitioned_matches_unpartitioned(docs):
+    """With a constant pre-partition key the partitioned path must return
+    exactly the unpartitioned pairs (recall 1.0 within a partition)."""
+    keyed = docs.withColumn("shard", F.lit(0))
+    base = D.simhash_near_dups(docs, max_hamming=4).toPandas()
+    part = D.simhash_near_dups(keyed, max_hamming=4,
+                               partition_cols=("shard",)).toPandas()
+    b = {(r.id_a, r.id_b, r.hamming) for r in base.itertuples()}
+    p = {(r.id_a, r.id_b, r.hamming) for r in part.itertuples()}
+    assert b == p
 
 
 def test_ngram_jaccard_max_df_caps_candidates(spark):
