@@ -84,6 +84,108 @@ def test_hourly_matrix_field_level(rendered, dataset_dir):
         assert got_usc[h] == v, h
 
 
+def _section_rows(txt: str, title: str, header: str) -> list[list[str]]:
+    """Rows of the tab-separated table that follows a ===== title ===== banner."""
+    lines = txt.splitlines()
+    i = lines.index(f"===== {title} =====")
+    j = i + 1
+    while lines[j] != header:
+        j += 1
+    rows = []
+    for ln in lines[j + 1:]:
+        if not ln.strip() or ln.startswith("="):
+            break
+        rows.append(ln.split("\t"))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def access_truth(dataset_dir):
+    """Truth rows the date-gated access frame aggregates over, plus the F4
+    exclusion flag replicated in pandas (webAccessLogParser.sh:742)."""
+    import pandas as pd
+
+    truth = pd.read_parquet(dataset_dir / "truth.parquet")
+    t = truth[(truth.category == "access") & (truth.event_date == "2015-06-13")].copy()
+    t["excluded"] = (
+        t.a_status.eq(304)
+        | t.a_ext.fillna("").str.fullmatch(
+            "jpg|gif|png|ico|js|css|woff|swf|jar|htm|html|txt")
+        | t.a_uri_path.fillna("").str.contains(
+            r"(?:\.css\.xhtml$|\.js\.xhtml$|\.png\.xhtml$|\.gif\.xhtml$)")
+        | t.a_params.fillna("").str.contains("WilyCmd=cmdMetrics")
+    )
+    return t
+
+
+def test_response_code_table_values(rendered, access_truth):
+    """Golden values for the HTTP response-code section
+    (webAccessLogParser.sh:1176-1184): exact count and pct per status."""
+    rows = _section_rows(rendered["02_WebAccessLogSummaryRpt.txt"],
+                         "Statistics by HTTP response code", "rsp\tcnt\tpc")
+    exp = access_truth.groupby("a_status").size().sort_index()
+    total = exp.sum()
+    assert [int(r[0]) for r in rows] == [int(s) for s in exp.index]
+    for r, (status, cnt) in zip(rows, exp.items()):
+        assert int(r[1]) == cnt, status
+        assert r[2] == format(round(cnt / total * 100, 2), "7.2f"), status
+
+
+def test_server_stats_table_values(rendered, access_truth):
+    """Golden values for the per-server section (sh:1071-1107): uuc, usc,
+    art over non-excluded rows, xrc, irc per web server."""
+    rows = _section_rows(
+        rendered["02_WebAccessLogSummaryRpt.txt"],
+        "Statistics by Web Server(IHS)  and WebSphere App Server (WAS)",
+        "srv\tuuc\tusc\tart\txrc\tirc")
+    got = {r[0]: r[1:] for r in rows}
+    t = access_truth
+    assert sorted(got) == sorted(t["source"].unique())
+    for srv, g in t.groupby("source"):
+        uuc = g["a_uid"].nunique()
+        sess = g[g.a_jsession != "-"]
+        jsc = len(sess[["a_clone_id", "a_jsession"]].drop_duplicates())
+        xcl = g[~g.excluded]
+        art = round(round(xcl["a_rt"].sum(), 6) / len(xcl), 6) if len(xcl) else 0.0
+        r = got[srv]
+        assert [int(r[0]), int(r[1])] == [uuc, jsc], srv
+        assert r[2] == format(art, "7.3f"), srv
+        assert [int(r[3]), int(r[4])] == [len(xcl), len(g)], srv
+
+
+def test_top_slowest_table_values(rendered, access_truth):
+    """Golden values for the top-10-slowest section (sh:1300-1329): exact
+    (rt, status, uid, url) rows in (rt desc, doc_id) order."""
+    rows = _section_rows(rendered["02_WebAccessLogSummaryRpt.txt"],
+                         "Top 10 (slowest) responses by Response Time",
+                         "rt\trsp\tuid\turl")
+    exp = access_truth.sort_values(
+        ["a_rt", "doc_id"], ascending=[False, True]).head(10)
+    assert len(rows) == 10
+    for r, e in zip(rows, exp.itertuples()):
+        assert r[0] == format(e.a_rt, "9.4f")
+        assert (int(r[1]), r[2], r[3]) == (e.a_status, e.a_uid, e.a_uri_path)
+
+
+def test_top_error_urls_table_values(rendered, access_truth):
+    """Golden values for the 400+ URL section (sh:1357-1381): per-(uri,
+    status) counts in (cnt desc, uri, status) order."""
+    rows = _section_rows(
+        rendered["02_WebAccessLogSummaryRpt.txt"],
+        "Top 10 (by count) URL ending with HTTP response code 400 and higher",
+        "cnt\trsp\turl")
+    exp = (
+        access_truth[access_truth.a_status >= 400]
+        .groupby(["a_uri_path", "a_status"]).size().reset_index(name="cnt")
+        .sort_values(["cnt", "a_uri_path", "a_status"],
+                     ascending=[False, True, True])
+        .head(10)
+    )
+    assert len(rows) == min(10, len(exp))
+    for r, e in zip(rows, exp.itertuples()):
+        assert (int(r[0]), int(r[1]), r[2]) == (e.cnt, e.a_status, e.a_uri_path)
+
+
 def test_was_and_gc_reports(rendered):
     assert "===== Hung thread summary =====" in rendered["01_WASLogSummaryRpt.txt"]
     assert "===== GC summary by JVM and date =====" in rendered["04_GCSummaryRpt.txt"]

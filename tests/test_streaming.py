@@ -8,6 +8,7 @@ routed-row equality).
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -71,6 +72,90 @@ def test_streaming_alerts(spark, dataset_dir, tmp_path):
     q.awaitTermination(300)
     got = spark.sql("select * from alerts_stream")
     assert got.filter(F.col("error_cnt") <= 5).count() == 0
+
+
+def test_streaming_hourly_matches_batch_with_late_rows(spark, dataset_dir, tmp_path):
+    """Late rows inside the watermark must merge into their (still open)
+    hour bucket: stream the token table as 4 files where file 2 carries
+    held-back rows of an EARLIER hour than file 1's max event time, then
+    assert every window the stream emits — including the late-merged one —
+    equals the batch A5-shaped aggregate exactly (verdict r2 item 10)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from log_parser_spark.operators.parse import fused_parse
+    from log_parser_spark.sources.token_table import read_token_sequences
+    from log_parser_spark.streaming.stream_pipeline import (
+        _with_event_ts,
+        hourly_windowed_counts,
+    )
+
+    tokens = read_token_sequences(spark, dataset_dir)
+    parsed = fused_parse(tokens, keep_tokens=False)
+    batch = hourly_windowed_counts(parsed, watermark="3 hours").toPandas()
+
+    # per-doc event hour drives the file split (hour-floor timestamps)
+    ts = (
+        _with_event_ts(parsed)
+        .select("doc_id", "event_ts")
+        .join(tokens, "doc_id")
+        .select("doc_id", "tokens", "n_tok", "source",
+                F.date_format("event_ts", "yyyy-MM-dd HH").alias("eh"))
+        .persist()
+    )
+    hours = sorted(r["eh"] for r in ts.select("eh").distinct().collect()
+                   if r["eh"] is not None)
+    assert len(hours) >= 8, hours
+    H = hours[len(hours) // 2]          # the late hour
+    after_H = hours[hours.index(H) + 1]
+    tail_start = hours[-3]
+    groups = [
+        # f1: everything up to hour H+1, EXCEPT hour H (held back) — also
+        # carries the null-event-time rows (they never enter a window)
+        (F.col("eh").isNull() | ((F.col("eh") <= after_H) & (F.col("eh") != H))),
+        # f2: the held-back hour-H rows — 1 h late vs f1's max, < 3 h wm
+        F.col("eh") == H,
+        # f3: pushes the watermark past hour H so its window finalizes
+        (F.col("eh") > after_H) & (F.col("eh") < tail_start),
+        # f4: the tail — its arrival flushes the finalized middle windows
+        F.col("eh") >= tail_start,
+    ]
+    src = tmp_path / "late_stream" / "token_sequences"
+    src.mkdir(parents=True)
+    for i, cond in enumerate(groups):
+        part_dir = tmp_path / f"g{i}"
+        ts.filter(cond).drop("eh").coalesce(1).write.parquet(str(part_dir))
+        (pq,) = [p for p in part_dir.iterdir() if p.suffix == ".parquet"]
+        dst = src / f"f{i}.parquet"
+        os.rename(pq, dst)
+        os.utime(dst, (1700000000 + i * 100, 1700000000 + i * 100))
+    ts.unpersist()
+
+    stream = read_token_stream(spark, tmp_path / "late_stream",
+                               max_files_per_trigger=1)
+    agg = hourly_windowed_counts(parse_stream(stream), watermark="3 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("late_hourly")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from late_hourly").toPandas()
+
+    key = ["hour_start", "category"]
+    assert not got.duplicated(key).any()
+    m = got.merge(batch, on=key, suffixes=("_s", "_b"), how="left")
+    assert m["cnt_b"].notna().all()          # nothing emitted that batch lacks
+    assert (m["cnt_s"] == m["cnt_b"]).all(), m.to_string()
+    assert (m["sum_rt_s"].fillna(0).round(4)
+            == m["sum_rt_b"].fillna(0).round(4)).all()
+    # the late-merged hour itself must be among the finalized windows,
+    # with the FULL batch count (late rows included, not dropped)
+    h_ts = pd.Timestamp(f"{H}:00:00")
+    assert (got["hour_start"] == h_ts).any(), (H, sorted(got["hour_start"].unique()))
 
 
 def test_streaming_sessionization_stateful(spark, dataset_dir, tmp_path, truth):
