@@ -16,7 +16,9 @@ Prints ONE JSON line:
    "queries": {...}, "sf": ..., "throughput": {...}, "scaling": {...}}
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_SKIP_SCALING=1 to skip the two-parallelism rerun.
+BENCH_SKIP_SCALING=1 to skip the two-parallelism rerun,
+BENCH_SKIP_SKEW=1 to skip the forced-skew writer stress
+(BENCH_SKEW_SF / BENCH_SKEW_HOT_PCT size it).
 """
 
 from __future__ import annotations
@@ -208,6 +210,17 @@ def main() -> None:
         "rows": hi["rows"],
     }
 
+    # ---- forced-skew writer stress (VERDICT r2 item 9): task-time spread
+    # of the sink fan-out write with the hot source at 80%, salted vs not.
+    skew: dict = {}
+    if not os.environ.get("BENCH_SKIP_SKEW"):
+        from tools.skew_stress import run_skew_stress
+
+        skew = run_skew_stress(
+            sf=float(os.environ.get("BENCH_SKEW_SF", "1")),
+            hot_pct=int(os.environ.get("BENCH_SKEW_HOT_PCT", "80")),
+        )
+
     # ---- per-query timings on the driver testdata (fresh session at N cores)
     import __spark_entry__ as entrymod
     from log_parser_spark.session import get_spark
@@ -243,6 +256,8 @@ def main() -> None:
         "throughput": throughput,
         "scaling": scaling,
     }
+    if skew:
+        result["skew_stress"] = skew
     print(json.dumps(result))
 
 

@@ -295,11 +295,15 @@ def _parse_was_pdf(line: pd.Series) -> pd.DataFrame:
     starv = msg.str.extract(P.HMGR0152W)
     exception = msg.str.extract(_EXC_RX, expand=False).fillna("")
 
-    txn_id = tto["txn_id"].fillna(
-        msg.str.extract(r"timed out transaction (\S+)", expand=False)
+    # .where keeps the object dtype (fillna on all-NaN object blocks trips
+    # the pandas silent-downcasting FutureWarning in every worker log)
+    txn_id = tto["txn_id"].where(
+        tto["txn_id"].notna(),
+        msg.str.extract(r"timed out transaction (\S+)", expand=False),
     )
-    active_ms = hung["active_ms"].fillna(hrel["active_ms"])
-    hthread_id = hung["hthread_id"].fillna(hrel["hthread_id"])
+    active_ms = hung["active_ms"].where(hung["active_ms"].notna(), hrel["active_ms"])
+    hthread_id = hung["hthread_id"].where(
+        hung["hthread_id"].notna(), hrel["hthread_id"])
 
     return pd.DataFrame(
         {
