@@ -85,6 +85,21 @@ def _warmup(spark, cores: int) -> None:
         return x
 
     spark.range(cores * 4).repartition(cores * 2).select(_warm("id")).count()
+    # JVM-side warm: push one tiny plan through analysis -> whole-stage
+    # codegen (Janino init) -> hash aggregate shuffle -> to_json -> parquet
+    # committer. A cold session pays ~5-10 s of compiler/classloader init on
+    # its FIRST such job — setup cost, not pipeline throughput, and it lands
+    # identically on both legs of the scaling pair (pure efficiency noise).
+    out = tempfile.mkdtemp(prefix="warm_")
+    (
+        spark.range(1000)
+        .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.avg("v").alias("avg_v"))
+        .select(F.to_json(F.struct("k", "cnt", "avg_v")).alias("row_json"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
 
 
 def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:

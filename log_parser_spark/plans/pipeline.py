@@ -62,23 +62,24 @@ def _bundle_reports(
     concurrently, while still collapsing ~41 snapshot commits to n_chunks.
     On a real cluster each chunk is one Iceberg commit."""
     names = sorted(reports)
+
+    def _one(name: str):
+        df = reports[name]
+        return df.schema.json(), df.select(
+            F.lit(name).alias("report_name"),
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("row_json"),
+        )
+
+    built = {n: _one(n) for n in names}
+
     chunks: list[tuple[str, DataFrame, dict[str, str]]] = []
     n_chunks = max(1, min(n_chunks, len(names)))
     for i in range(n_chunks):
         chunk_names = names[i::n_chunks]
         if not chunk_names:
             continue
-        schemas: dict[str, str] = {}
-        parts: list[DataFrame] = []
-        for name in chunk_names:
-            df = reports[name]
-            schemas[name] = df.schema.json()
-            parts.append(
-                df.select(
-                    F.lit(name).alias("report_name"),
-                    F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("row_json"),
-                )
-            )
+        schemas = {name: built[name][0] for name in chunk_names}
+        parts = [built[name][1] for name in chunk_names]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -122,7 +123,7 @@ def read_report(
 
 def _access_reports(
     access: DataFrame, lookups: dict, persisted: list | None = None,
-) -> dict[str, DataFrame]:
+) -> dict:
     from ..operators.enrich import baseline_deviation
 
     # Shared aggregates: uri/domain/uid/ext stats each feed BOTH a full
@@ -136,70 +137,73 @@ def _access_reports(
     if persisted is not None:
         persisted += [uri, dom, uids, ext]
     return {
-        "status_counts": A.status_counts(access),
-        "uri_stats": baseline_deviation(uri, lookups["perf_baseline"]),
-        "hourly_stats": A.hourly_stats(access),
-        "daily_rollup": A.daily_rollup(access),
-        "uid_stats": uids,
-        "domain_stats": dom,
-        "ext_stats": ext,
-        "browser_usage": A.browser_usage(access),
-        "os_usage": A.os_usage(access),
-        "server_stats": A.server_stats(access),
-        "was_server_stats": A.was_server_stats(access, lookups["clone_map"]),
-        "method_by_server": A.method_by_server(access),
-        "status_by_server": A.status_by_server(access),
-        "errors_by_uri": A.errors_by_uri(access),
-        "domain_hour_users": A.domain_hour_users(access),
-        "sessions": A.sessionization(access),
-        "hourly_sessions": A.sessions_per_hour(access),
-        "domain_hour_sessions": A.domain_hour_sessions(access),
-        "domain_daily_summary": A.domain_daily_summary(access),
-        "whereuid": A.whereuid_sessions(access, lookups["clone_map"]),
-        "top_slowest": TN.top_slowest_requests(access),
-        "top_uris_by_art": uri.orderBy(F.desc("art"), "uri").limit(10),
-        "top_error_urls": TN.top_error_urls(access),
-        "top_domains_by_art": dom.orderBy(F.desc("art"), "domain").limit(5),
-        "top_uids_by_art": uids.orderBy(F.desc("art"), "uid").limit(5),
-        "ext_sorted": ext.orderBy(F.desc("cnt"), "ext"),
+        "status_counts": lambda: A.status_counts(access),
+        "uri_stats": lambda: baseline_deviation(uri, lookups["perf_baseline"]),
+        "hourly_stats": lambda: A.hourly_stats(access),
+        "daily_rollup": lambda: A.daily_rollup(access),
+        "uid_stats": lambda: uids,
+        "domain_stats": lambda: dom,
+        "ext_stats": lambda: ext,
+        "browser_usage": lambda: A.browser_usage(access),
+        "os_usage": lambda: A.os_usage(access),
+        "server_stats": lambda: A.server_stats(access),
+        "was_server_stats": lambda: A.was_server_stats(access, lookups["clone_map"]),
+        "method_by_server": lambda: A.method_by_server(access),
+        "status_by_server": lambda: A.status_by_server(access),
+        "errors_by_uri": lambda: A.errors_by_uri(access),
+        "domain_hour_users": lambda: A.domain_hour_users(access),
+        "sessions": lambda: A.sessionization(access),
+        "hourly_sessions": lambda: A.sessions_per_hour(access),
+        "domain_hour_sessions": lambda: A.domain_hour_sessions(access),
+        "domain_daily_summary": lambda: A.domain_daily_summary(access),
+        "whereuid": lambda: A.whereuid_sessions(access, lookups["clone_map"]),
+        "top_slowest": lambda: TN.top_slowest_requests(access),
+        "top_uris_by_art": lambda: uri.orderBy(F.desc("art"), "uri").limit(10),
+        "top_error_urls": lambda: TN.top_error_urls(access),
+        "top_domains_by_art": lambda: dom.orderBy(F.desc("art"), "domain").limit(5),
+        "top_uids_by_art": lambda: uids.orderBy(F.desc("art"), "uid").limit(5),
+        "ext_sorted": lambda: ext.orderBy(F.desc("cnt"), "ext"),
     }
 
 
-def _was_reports(was: DataFrame, lookups: dict) -> dict[str, DataFrame]:
+def _was_reports(was: DataFrame, lookups: dict) -> dict:
     return {
-        "was_events_by_server": A.was_event_counts(was, "source"),
-        "was_events_by_component": A.was_event_counts(was, "component"),
-        "was_events_by_class": A.was_event_counts(was, "wclass"),
-        "was_events_by_exception": A.was_event_counts(was, "exception"),
-        "was_events_by_code": A.was_event_counts(was, "msg_code"),
-        "hung_threads": A.hung_thread_summary(was),
-        "tto": A.tto_summary(was),
-        "starvation": A.starvation_summary(was),
-        "txn_pairs": A.txn_timeout_pairs(was),
-        "filtered_errors": A.filtered_error_counts(was, lookups["custom_filter"]),
-        "oom": A.oom_counts(was),
-        "was_top_errors_by_component": TN.was_top_events(was, "component", ["E", "F"]),
-        "was_top_warns_by_component": TN.was_top_events(was, "component", ["W"]),
-        "was_recycles": A.was_recycles(was),
+        "was_events_by_server": lambda: A.was_event_counts(was, "source"),
+        "was_events_by_component": lambda: A.was_event_counts(was, "component"),
+        "was_events_by_class": lambda: A.was_event_counts(was, "wclass"),
+        "was_events_by_exception": lambda: A.was_event_counts(was, "exception"),
+        "was_events_by_code": lambda: A.was_event_counts(was, "msg_code"),
+        "hung_threads": lambda: A.hung_thread_summary(was),
+        "tto": lambda: A.tto_summary(was),
+        "starvation": lambda: A.starvation_summary(was),
+        "txn_pairs": lambda: A.txn_timeout_pairs(was),
+        "filtered_errors": lambda: A.filtered_error_counts(
+            was, lookups["custom_filter"]),
+        "oom": lambda: A.oom_counts(was),
+        "was_top_errors_by_component": lambda: TN.was_top_events(
+            was, "component", ["E", "F"]),
+        "was_top_warns_by_component": lambda: TN.was_top_events(
+            was, "component", ["W"]),
+        "was_recycles": lambda: A.was_recycles(was),
     }
 
 
-def _err_reports(err: DataFrame) -> dict[str, DataFrame]:
+def _err_reports(err: DataFrame) -> dict:
     return {
-        "weberror_by_server": A.weberror_counts_by_server(err),
-        "weberror_by_msg": A.weberror_counts_by_msg(err),
-        "weberror_by_referer": A.weberror_counts_by_referer(err),
-        "mpm_peak": A.mpm_max_busy(err),
-        "mpm_timeline": A.mpm_timeline(err),
-        "http_recycles": A.http_recycles(err),
+        "weberror_by_server": lambda: A.weberror_counts_by_server(err),
+        "weberror_by_msg": lambda: A.weberror_counts_by_msg(err),
+        "weberror_by_referer": lambda: A.weberror_counts_by_referer(err),
+        "mpm_peak": lambda: A.mpm_max_busy(err),
+        "mpm_timeline": lambda: A.mpm_timeline(err),
+        "http_recycles": lambda: A.http_recycles(err),
     }
 
 
-def _gc_reports(gc: DataFrame, th: dict) -> dict[str, DataFrame]:
+def _gc_reports(gc: DataFrame, th: dict) -> dict:
     return {
-        "gc_daily": A.gc_daily_stats(gc),
-        "gc_last": A.gc_last_record(gc),
-        "gc_violations": A.gc_threshold_violations(gc, th),
+        "gc_daily": lambda: A.gc_daily_stats(gc),
+        "gc_last": lambda: A.gc_last_record(gc),
+        "gc_violations": lambda: A.gc_threshold_violations(gc, th),
     }
 
 
@@ -269,6 +273,10 @@ def run_pipeline(
     commit("sinks", parsed_full, f"{recorddate}-routed", partition_by=["category"])
     res.phase_s["parse_route_sinks"] = round(time.time() - t0, 2)
 
+    def _mark(name: str) -> None:
+        # cumulative-subtraction phase clock (sub-phases sum to elapsed)
+        res.phase_s[name] = round(time.time() - t0 - sum(res.phase_s.values()), 2)
+
     # Read back ONLY this run's snapshot (Iceberg snapshot-id scan): the sinks
     # table accumulates one snapshot per daily run, and a rerun into the same
     # out dir must not aggregate over N unioned copies of the corpus.
@@ -279,6 +287,7 @@ def run_pipeline(
     lineage = lineage_frame(classified).withColumn(
         "snapshot_id", F.lit(f"{recorddate}-routed"))
     commit("lineage", lineage, f"{recorddate}-lineage")
+    _mark("lineage")
 
     # ---- per-family parsed frames off the written sinks: every report is a
     # column-pruned parquet read with a family/date predicate pushed to the
@@ -316,21 +325,36 @@ def run_pipeline(
     err = parsed_family(classified, "weberror").filter(date_gate).coalesce(8).persist()
     gc = parsed_family(classified, "gc").filter(date_gate).coalesce(8).persist()
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Kick the four family-cache materializations onto the executors NOW,
+    # then construct the ~44 report plans on the driver while the cluster
+    # chews: plan construction is ~7 s of driver-serial py4j/Catalyst work
+    # at ANY scale (a core-count-independent constant that would otherwise
+    # land on both legs of the scaling pair), and the blocking count() calls
+    # release the GIL, so it hides completely under the cache-build compute.
+    warm_pool: ThreadPoolExecutor | None = None
+    warm_futs: list = []
+    if stop_after is None:
+        warm_pool = ThreadPoolExecutor(max_workers=4)
+        warm_futs = [warm_pool.submit(d.count) for d in (access, was, err, gc)]
+
     persisted: list[DataFrame] = []
-    reports: dict[str, DataFrame] = {}
+    builders: dict = {}
     if rpttype in ("all", "web"):
-        reports.update(_access_reports(access, lookups, persisted))
+        builders.update(_access_reports(access, lookups, persisted))
         # No date gate on the unmatched side: garbage/parse-miss rows have no
         # trustworthy event date (the reference counts discards per input
         # file set, sh:680-683), and the snapshot read is already scoped to
         # this run. The unknownua review count rides the date-gated access.
-        reports["discard_summary"] = A.discard_summary(classified, access)
+        builders["discard_summary"] = lambda: A.discard_summary(classified, access)
     if rpttype in ("all", "was"):
-        reports.update(_was_reports(was, lookups))
+        builders.update(_was_reports(was, lookups))
     if rpttype in ("all", "err"):
-        reports.update(_err_reports(err))
+        builders.update(_err_reports(err))
     if rpttype in ("all", "gc"):
-        reports.update(_gc_reports(gc, th))
+        builders.update(_gc_reports(gc, th))
+    reports: dict[str, DataFrame] = {name: fn() for name, fn in builders.items()}
 
     # Commit the reports as a FEW bundled (report_name, row_json) snapshots:
     # chunking parallelizes the core-count-independent driver cost (plan +
@@ -384,20 +408,23 @@ def run_pipeline(
         )
         if alerts is not None:
             tail.append(("alerts", alerts, None, None, recorddate))
+    _mark("build_frames")
 
     if stop_after is not None:
         for name, df, pby, meta, txid in tail:
             commit(name, df, txid, partition_by=pby, meta=meta)
     else:
-        from concurrent.futures import ThreadPoolExecutor
-
         # WARM the caches before the tail fan-out so every tail job runs on
-        # warm blocks (a cold cache is built under per-block locks).
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            list(pool.map(lambda d: d.count(), (access, was, err, gc)))
+        # warm blocks (a cold cache is built under per-block locks). The four
+        # family counts were kicked off before plan construction — join them.
+        for f in warm_futs:
+            f.result()
+        if warm_pool is not None:
+            warm_pool.shutdown()
         if persisted:
             with ThreadPoolExecutor(max_workers=8) as pool:
                 list(pool.map(lambda d: d.count(), persisted))
+        _mark("warm_caches")
 
         import os as _os
         tail_workers = int(_os.environ.get("PIPELINE_TAIL_WORKERS", "4"))
@@ -409,8 +436,7 @@ def run_pipeline(
             for f in futs:
                 f.result()
     res.reports = reports
-    res.phase_s["reports_history_alerts"] = round(
-        time.time() - t0 - sum(res.phase_s.values()), 2)
+    _mark("tail_commits")
 
     # ---- metrics: fold the committed per-partition lineage records instead
     # of re-scanning the silver table (the counts are already there)
