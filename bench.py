@@ -164,8 +164,10 @@ def main() -> None:
         core_hi = run_core(hi_cores, core_dir, shuffle=max(8, hi_cores))
         repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
         # stay inside a wall-clock budget: a truncated-but-complete JSON
-        # beats a driver-killed run with no JSON at all
-        budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "2400"))
+        # beats a driver-killed run with no JSON at all. 3300 s fits three
+        # interleaved SF=2 pairs (~800 s each) with headroom; 2400 was
+        # routinely stopping at 2/3 pairs.
+        budget_s = float(os.environ.get("BENCH_TIME_BUDGET", "3300"))
         bench_t0 = time.time()
         pairs = []
         for i in range(repeats):
