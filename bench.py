@@ -231,12 +231,18 @@ def main() -> None:
     # of the sink fan-out write with the hot source at 80%, salted vs not.
     skew: dict = {}
     if not os.environ.get("BENCH_SKIP_SKEW"):
-        from tools.skew_stress import run_skew_stress
+        # never let the stress experiment take down the bench JSON: it
+        # scrapes the Spark UI REST API, which is best-effort diagnostics
+        try:
+            from tools.skew_stress import run_skew_stress
 
-        skew = run_skew_stress(
-            sf=float(os.environ.get("BENCH_SKEW_SF", "1")),
-            hot_pct=int(os.environ.get("BENCH_SKEW_HOT_PCT", "80")),
-        )
+            skew = run_skew_stress(
+                sf=float(os.environ.get("BENCH_SKEW_SF", "1")),
+                hot_pct=int(os.environ.get("BENCH_SKEW_HOT_PCT", "80")),
+            )
+        except Exception as e:  # noqa: BLE001
+            skew = {"error": f"{type(e).__name__}: {e}"}
+            print(f"# skew stress failed: {e}", file=sys.stderr)
 
     # ---- per-query timings on the driver testdata (fresh session at N cores)
     import __spark_entry__ as entrymod
