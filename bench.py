@@ -116,7 +116,8 @@ def run_tokenlog(cores: int, dataset_dir: str, shuffle: int) -> dict:
     wall = time.time() - t0
     spark.stop()
     return {"cores": cores, "wall_s": round(wall, 2), "rows": res.rows_in,
-            "seq_per_s": round(res.rows_in / wall, 1)}
+            "seq_per_s": round(res.rows_in / wall, 1),
+            "phase_s": res.phase_s}
 
 
 def main() -> None:
