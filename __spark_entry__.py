@@ -699,14 +699,14 @@ def tl_discard_counts(spark, sf):
 
 
 def q_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup pairs (xxhash64-based; verified vs py oracle in tests)."""
+    """MinHash+LSH near-dup pairs (md5-based, SQL-replayed by the oracle)."""
     from log_parser_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
 def q_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs (bit-vote; property-tested)."""
+    """SimHash near-dup pairs (bit-vote; SQL-replayed by the oracle)."""
     from log_parser_spark.operators.dedup import simhash_near_dups
 
     # expected_docs sizes the pigeonhole-bucket guard: the sf test corpora
@@ -829,8 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
-        # rows-only (non-SQL-expressible: xxhash64 / LSH; recall- and
-        # property-tested in tests/test_datapipe_ops.py instead)
+        # LSH families: deterministic hash/projection constants, so even
+        # these replay as DuckDB SQL (log_parser_spark/oracles.py) — plus
+        # recall/property tests in tests/test_datapipe_ops.py
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "lsh_knn": q_lsh_knn,
@@ -858,7 +859,7 @@ def oracle_sql() -> dict[str, str]:
     # The tl_* oracles read the deterministic tokenlog dataset (datagen
     # seed=42, sf=0.001) that every tl_* Spark query uses. Materialize it
     # here so the DuckDB side works even if it runs before the Spark side.
-    from log_parser_spark import datagen
+    from log_parser_spark import datagen, oracles
 
     ds = str(datagen.ensure_dataset(0.001))
     truth = f"read_parquet('{ds}/truth.parquet/*.parquet')"  # chunked dir
@@ -1510,4 +1511,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -999999.0 END AS hp_after_pct
             FROM g
         """,
+        # -- LSH-family replays (log_parser_spark/oracles.py): the operator
+        # hashes/projections are deterministic constants, so the exact pair
+        # sets and rankings replay as SQL — md5_number_lower equals the
+        # kernels' 64-bit hash, permutations are HUGEINT arithmetic, and
+        # hyperplane/centroid floats are inlined as exact %.17e literals
+        # with left-associated sums matching F.aggregate's fold.
+        "minhash_lsh": oracles.minhash_lsh_sql(threshold=0.5),
+        "simhash_pairs": oracles.simhash_pairs_sql(max_hamming=8),
+        "lsh_knn": oracles.lsh_knn_sql(KNN_QUERY_IDS, k=5, dim=64),
+        "ivf_knn": oracles.ivf_knn_sql(
+            KNN_QUERY_IDS, k=5, n_cells=8, n_probe=4, dim=64),
+        "near_dup_lsh": oracles.near_dup_lsh_sql(threshold=0.4, dim=64),
     }

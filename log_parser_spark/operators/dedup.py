@@ -28,13 +28,19 @@ from pyspark.sql import types as T
 
 
 def _hash64_uniques(strings) -> np.ndarray:
-    """Deterministic 64-bit hash per unique string (blake2b, platform-stable).
+    """Deterministic 64-bit hash per unique string (md5 low half,
+    platform-stable).
 
     Called on the FACTORIZED vocabulary only — corpora repeat tokens/grams
-    heavily, so this per-unique Python loop is O(vocab), not O(corpus)."""
+    heavily, so this per-unique Python loop is O(vocab), not O(corpus).
+
+    The exact definition — little-endian int of md5 bytes 8..16 — equals
+    DuckDB's ``md5_number_lower``, which makes every MinHash/SimHash
+    signature (and therefore the LSH pair sets built from them) replayable
+    as plain SQL by the DuckDB correctness oracle."""
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
             for s in strings
         ),
         dtype=np.uint64,

@@ -206,7 +206,9 @@ def ivf_knn(
     def probe_udf(v: pd.Series) -> pd.Series:
         M = np.asarray(v.tolist(), dtype=np.float64)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(M @ Cn.T), axis=1)[:, :n_probe].astype(np.int32)
+        # stable sort: equal cell scores resolve to the lower cell index,
+        # the same tie-break the SQL oracle's (score DESC, cell ASC) uses
+        order = np.argsort(-(M @ Cn.T), axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order), index=v.index)
 
     q = (

@@ -48,6 +48,11 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # data-dependent oracle constants (IVF centroids) must come from the
+    # same tables the queries read
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(cores=8, app_name="oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in entrymod.TABLES:
