@@ -765,6 +765,23 @@ def q_lsh_knn(spark, sf):
     return lsh_knn(_t(spark, sf, "embeddings"), KNN_QUERY_IDS, k=5, dim=64)
 
 
+def q_hash_split(spark, sf):
+    """Reproducible train/val/test assignment (salted md5 buckets)."""
+    from log_parser_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _t(spark, sf, "documents"), val_pct=5.0, test_pct=5.0
+    ).select("doc_id", "split")
+
+
+def q_pack_chunks(spark, sf):
+    """Pretraining sequence packing: per-doc chunk spans in the per-source
+    concatenated token stream (max_len=1024)."""
+    from log_parser_spark.operators.sampling import pack_chunks
+
+    return pack_chunks(_t(spark, sf, "documents"), max_len=1024)
+
+
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -851,6 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_row": q_argmax_row,
         "topk_rows": q_topk_rows,
         "hour_pivot_users": q_hour_pivot_users,
+        # dataset-assembly ops (also past the window; oracle-backed so the
+        # repo's own gate still hash-verifies them)
+        "hash_split": q_hash_split,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1523,4 +1544,32 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn": oracles.ivf_knn_sql(
             KNN_QUERY_IDS, k=5, n_cells=8, n_probe=4, dim=64),
         "near_dup_lsh": oracles.near_dup_lsh_sql(threshold=0.4, dim=64),
+        # -- dataset-assembly ops (operators/sampling.py): the split hash
+        # is the same md5 low half, so membership replays exactly
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower(doc_id::VARCHAR || ':v1') % 10000 < 500
+                        THEN 'val'
+                        WHEN md5_number_lower(doc_id::VARCHAR || ':v1') % 10000 < 1000
+                        THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "pack_chunks": """
+            WITH n AS (SELECT doc_id, source,
+                              CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                                  AS n_tok
+                       FROM documents),
+            o AS (SELECT doc_id, source, n_tok,
+                         CAST(COALESCE(SUM(n_tok) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS "offset"
+                  FROM n)
+            SELECT doc_id, source, n_tok, "offset",
+                   CAST("offset" // 1024 AS BIGINT) AS chunk_start,
+                   CAST(("offset" + n_tok - 1) // 1024 AS BIGINT) AS chunk_end,
+                   CAST("offset" % 1024 AS BIGINT) AS offset_in_chunk
+            FROM o
+        """,
     }

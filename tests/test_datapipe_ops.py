@@ -357,3 +357,63 @@ def test_connected_components_and_dedup(spark, docs, docs_pd):
     reps = {c for c in exp.values()}
     assert reps <= set(kept.doc_id)
     pairs.unpersist()
+
+
+# ----------------------------------------------------- dataset assembly ops
+
+def test_hash_split_deterministic_and_partition_invariant(docs, docs_pd):
+    from log_parser_spark.operators import sampling as SA
+
+    a = SA.hash_split(docs, val_pct=5.0, test_pct=5.0).select("doc_id", "split")
+    b = SA.hash_split(docs.repartition(7), val_pct=5.0, test_pct=5.0).select(
+        "doc_id", "split")
+    pa = a.toPandas().set_index("doc_id")["split"].sort_index()
+    pb = b.toPandas().set_index("doc_id")["split"].sort_index()
+    assert pa.equals(pb)  # membership is a pure function of the key
+    # python replication of the salted-md5 bucket
+    import hashlib
+
+    def bucket(doc_id):
+        d = hashlib.md5(f"{doc_id}:v1".encode()).digest()
+        return int.from_bytes(d[8:16], "little") % 10_000
+
+    for did, split in pa.items():
+        bk = bucket(did)
+        exp = "val" if bk < 500 else ("test" if bk < 1000 else "train")
+        assert split == exp, (did, bk, split, exp)
+    # rates land near the ask on a 50-doc corpus (binomial tolerance)
+    frac = (pa != "train").mean()
+    assert frac <= 0.5
+
+
+def test_hash_sample_stable_subset(docs):
+    from log_parser_spark.operators import sampling as SA
+
+    s20 = {r.doc_id for r in SA.hash_sample(docs, 20.0).select("doc_id").collect()}
+    s50 = {r.doc_id for r in SA.hash_sample(docs, 50.0).select("doc_id").collect()}
+    assert s20 <= s50  # growing the rate only ADDS members (stable sampling)
+    n = docs.count()
+    assert 0 < len(s50) < n
+
+
+def test_pack_chunks_matches_python_stream(docs, docs_pd):
+    from log_parser_spark.operators import sampling as SA
+
+    got = SA.pack_chunks(docs, max_len=256).toPandas()
+    for source, grp in docs_pd.groupby("source"):
+        off = 0
+        for r in grp.sort_values("doc_id").itertuples():
+            n = len(r.text.split()) if r.text else 1
+            row = got[(got.doc_id == r.doc_id)].iloc[0]
+            assert row["offset"] == off
+            assert row["n_tok"] == n
+            assert row["chunk_start"] == off // 256
+            assert row["chunk_end"] == (off + n - 1) // 256
+            assert row["offset_in_chunk"] == off % 256
+            off += n
+    # stream conservation: chunks cover exactly sum(n_tok) tokens per source
+    tot = got.groupby("source").apply(
+        lambda g: g["offset"].max() + g.loc[g["offset"].idxmax(), "n_tok"],
+        include_groups=False)
+    exp = got.groupby("source")["n_tok"].sum()
+    assert tot.sort_index().equals(exp.sort_index())
