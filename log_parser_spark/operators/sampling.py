@@ -97,12 +97,16 @@ def pack_chunks(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("bigint")
-    return docs.select(
+    staged = docs.select(
         F.col(order_key),
         F.col(stream_key),
         n_tok.cast("bigint").alias("n_tok"),
         offset.alias("offset"),
-        F.floor(offset / max_len).alias("chunk_start"),
-        F.floor((offset + n_tok - 1) / max_len).alias("chunk_end"),
-        (offset % max_len).alias("offset_in_chunk"),
+    )
+    # integer DIV, not floor(double /): offsets stay exact past 2^53 tokens
+    return staged.select(
+        order_key, stream_key, "n_tok", "offset",
+        F.expr(f"offset DIV {max_len}").alias("chunk_start"),
+        F.expr(f"(offset + n_tok - 1) DIV {max_len}").alias("chunk_end"),
+        (F.col("offset") % max_len).alias("offset_in_chunk"),
     )

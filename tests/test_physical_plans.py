@@ -83,3 +83,25 @@ def test_source_partition_pruning(spark, dataset_dir):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:200]
     assert "source" in seg
+
+
+def test_hash_split_is_shuffle_free_projection(spark):
+    """Split assignment must stay a pure per-row expression: no Exchange,
+    no Python UDF crossing — at 100 TB it rides along any scan for free."""
+    from log_parser_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(SA.hash_split(docs).select("doc_id", "split"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF: conv/md5 are JVM expressions
+
+
+def test_pack_chunks_single_exchange_on_stream_key(spark):
+    """Packing shuffles ONCE on the stream key for its window; stream keys
+    are the parallelism unit, so exactly one hashpartitioning(source)."""
+    from log_parser_spark.operators import sampling as SA
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(SA.pack_chunks(docs, max_len=1024))
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(source" in plan
