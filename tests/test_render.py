@@ -190,3 +190,74 @@ def test_was_and_gc_reports(rendered):
     assert "===== Hung thread summary =====" in rendered["01_WASLogSummaryRpt.txt"]
     assert "===== GC summary by JVM and date =====" in rendered["04_GCSummaryRpt.txt"]
     assert "mpmstats: peak busy per server" in rendered["03_WebErrorLogSummaryRpt.txt"]
+
+
+@pytest.fixture(scope="module")
+def day_truth(dataset_dir):
+    """Truth rows inside the F8 summarize-date gate (all categories — the
+    family frames the WAS/GC/error reports read are not category-filtered)."""
+    import pandas as pd
+
+    truth = pd.read_parquet(dataset_dir / "truth.parquet")
+    return truth[truth.event_date == "2015-06-13"]
+
+
+def test_hung_thread_summary_values(rendered, day_truth):
+    """Golden nhtc/mhtc/rhtc per JVM vs generator truth
+    (websphereLogParser.sh:443-532): rhtc is the chtc of the numerically
+    time-ordered LAST hung/release event."""
+    rows = _section_rows(rendered["01_WASLogSummaryRpt.txt"],
+                         "Hung thread summary", "jvm\tnhtc\tmhtc\trhtc")
+    h = day_truth[(day_truth.family == "was")
+                  & day_truth.w_code.isin(["WSVR0605W", "WSVR0606W"])]
+    assert [r[0] for r in rows] == sorted(h.source.unique())
+    for r in rows:
+        grp = h[h.source == r[0]]
+        nhtc = int((grp.w_code == "WSVR0605W").sum())
+        mhtc = int(grp.w_chtc.max())
+        last = grp.sort_values(["secs", "doc_id"]).iloc[-1]
+        assert int(r[1]) == nhtc, r[0]
+        assert int(r[2]) == mhtc, r[0]
+        assert int(r[3]) == int(last.w_chtc), r[0]
+
+
+def test_mpm_peak_values(rendered, day_truth):
+    """Golden per-server peak-busy row (webErrorLogParser.sh:361-373):
+    argmax bsy with the operator's (bsy, time-string) tiebreak."""
+    rows = _section_rows(rendered["03_WebErrorLogSummaryRpt.txt"],
+                         "mpmstats: peak busy per server",
+                         "srv\ttime\tbsy\trdy")
+    m = day_truth[(day_truth.family == "weberror")
+                  & (day_truth.e_subtype == "mpm_global")].copy()
+    m["time"] = m.secs.map(  # error_log stamps carry a zero-padded hour
+        lambda s: f"{int(s)//3600:02d}:{(int(s)%3600)//60:02d}:{int(s)%60:02d}")
+    assert [r[0] for r in rows] == sorted(m.source.unique())
+    for r in rows:
+        grp = m[m.source == r[0]]
+        peak = grp.sort_values(["e_bsy", "time"]).iloc[-1]
+        assert r[1] == peak.time, r[0]
+        assert int(r[2]) == int(peak.e_bsy), r[0]
+        assert int(r[3]) == int(peak.e_rdy), r[0]
+
+
+def test_gc_daily_values(rendered, day_truth):
+    """Golden per-(jvm, date) GC counts and rounded avg real times
+    (javaGCStatsParser.sh:455-473,511-551)."""
+    rows = _section_rows(rendered["04_GCSummaryRpt.txt"],
+                         "GC summary by JVM and date",
+                         "jvm\tdate\tgc\tfgc\tagcrt\tafgcrt")
+    g = day_truth[day_truth.family == "gc"]
+    assert [r[0] for r in rows] == sorted(g.source.unique())
+    for r in rows:
+        grp = g[g.source == r[0]]
+        gc_cnt = int((grp.g_type == "GC").sum())
+        fgc_cnt = int((grp.g_type == "FULLGC").sum())
+        fgc_all = int((grp.g_type != "GC").sum())
+        gc_real = round(float(grp.loc[grp.g_type == "GC", "g_real"].sum()), 2)
+        fgc_real = round(float(grp.loc[grp.g_type != "GC", "g_real"].sum()), 2)
+        assert int(r[2]) == gc_cnt, r[0]
+        assert int(r[3]) == fgc_cnt, r[0]
+        agc = round(gc_real / gc_cnt, 4) if gc_cnt else 0.0
+        afgc = round(fgc_real / fgc_all, 4) if fgc_all else 0.0
+        assert r[4] == format(agc, "7.3f"), r[0]
+        assert r[5] == format(afgc, "7.3f"), r[0]
