@@ -791,12 +791,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records CORRECTNESS rows for the FIRST 50
-    # entries only.  The window therefore holds (a) 20 TPC-shape operator
+    # entries only.  The window therefore holds (a) 18 TPC-shape operator
     # analogues with no tl_* twin, (b) ALL 18 tl_* pipeline queries — the
-    # flagship SURVEY §2 operators — and (c) ALL 12 LLM-data-pipeline ops.
-    # Seven generic analogues whose operator shape is re-verified by a tl_*
-    # twin on the tokenlog tables (and which were driver-hash-green in both
-    # rounds 1 and 2) sit past the window at the end; they remain runnable.
+    # flagship SURVEY §2 operators — and (c) ALL 14 LLM-data-pipeline /
+    # dataset-assembly ops.  Nine generic analogues whose operator shape is
+    # re-verified by a tl_* twin on the tokenlog tables (and which were
+    # driver-hash-green in both rounds 1 and 2) sit past the window at the
+    # end; they remain runnable and repo-oracle-checked.
     return {
         # -- TPC-shape operator analogues (unique shapes) ------------------
         "pricing_summary": q_pricing_summary,
@@ -814,8 +815,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sets": q_rollup_sets,
         "union_all": q_union_all,
         "running_window": q_running_window,
-        "regex_extract": q_regex_extract,
-        "bucketize": q_bucketize,
         "stats_moments": q_stats_moments,
         "median_price": q_median_price,
         "point_lookup": q_point_lookup,
@@ -840,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tl_discard_counts": tl_discard_counts,
         # -- LLM-data-pipeline operators -----------------------------------
         "dedup_exact": q_dedup_exact,
+        "hash_split": q_hash_split,
+        "pack_chunks": q_pack_chunks,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -859,8 +860,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape has a tl_* twin above (status_counts~tl_status_counts,
         # hourly_matrix~tl_hourly_stats, sessionization~tl_sessionization,
         # event_pairing~tl_txn_pairs, argmax_row~tl_mpm_peak,
-        # topk_rows~tl_top_slowest, hour_pivot_users~tl_hourly_sessions);
-        # all seven were driver-hash-green in rounds 1 and 2.
+        # topk_rows~tl_top_slowest, hour_pivot_users~tl_hourly_sessions,
+        # regex_extract~every tl_* grok parse, bucketize~tl_hourly_stats
+        # range columns); all nine were driver-hash-green in rounds 1 and 2,
+        # and all remain oracle-backed so the repo's own gate
+        # (tools/check_oracle.py) still hash-verifies them every run.
         "status_counts": q_status_counts,
         "hourly_matrix": q_hourly_matrix,
         "sessionization": q_sessionization,
@@ -868,10 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_row": q_argmax_row,
         "topk_rows": q_topk_rows,
         "hour_pivot_users": q_hour_pivot_users,
-        # dataset-assembly ops (also past the window; oracle-backed so the
-        # repo's own gate still hash-verifies them)
-        "hash_split": q_hash_split,
-        "pack_chunks": q_pack_chunks,
+        "regex_extract": q_regex_extract,
+        "bucketize": q_bucketize,
     }
 
 
