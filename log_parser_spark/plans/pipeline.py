@@ -110,7 +110,12 @@ def read_report(
             break
     if schema_json is None:
         return None
-    df = at._read_recs(spark, recs)
+    # schemas come from the original chunk manifests (kept through
+    # maintenance), but DATA must skip snapshots a compaction replaced —
+    # except for a txid-scoped read, which is time travel into the
+    # pre-compaction chunks (valid until expire_snapshots()).
+    live = at._live(recs)
+    df = at._read_recs(spark, live if (txid is None or live) else recs)
     if df is None:
         return None
     schema = T.StructType.fromJson(_json.loads(schema_json))

@@ -63,6 +63,19 @@ class AtomicTable:
 
     # --------------------------------------------------------------- commit
 
+    def _rewrite_manifest(self, recs: list[dict]) -> None:
+        """Atomically replace the manifest (write tmp + rename).
+
+        Maintenance ops (compact/expire) are single-writer jobs run at a
+        batch boundary — the same contract as Iceberg's table maintenance
+        actions. Appending commits racing a maintenance rewrite would be
+        lost; callers must not run them concurrently (documented, asserted
+        nowhere — plain parquet has no optimistic-commit loop to retry on).
+        """
+        tmp = self.root / "_manifest.jsonl.tmp"
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in recs))
+        os.rename(tmp, self.manifest)
+
     def commit(
         self,
         df: DataFrame,
@@ -117,6 +130,12 @@ class AtomicTable:
         schemas: list[str] = []
         for r in recs:
             p = Path(r["path"])
+            if r.get("expired"):
+                raise ValueError(
+                    f"snapshot {r['txid']} was expired by expire_snapshots(); "
+                    f"its data lives on in compaction snapshot "
+                    f"{r.get('replaced_by')}"
+                )
             if not p.exists():
                 raise FileNotFoundError(
                     f"committed snapshot missing: {p} (txid={r['txid']}) — "
@@ -141,12 +160,21 @@ class AtomicTable:
             return spark.createDataFrame([], schema)
         return spark.read.option("basePath", str(self.root)).parquet(*paths)
 
+    def _live(self, recs: list[dict]) -> list[dict]:
+        """Records whose data is current (not superseded by a compaction)."""
+        return [r for r in recs if not r.get("replaced_by")]
+
     def read_txid(self, spark: SparkSession, txid: str) -> DataFrame | None:
         """Read exactly ONE committed snapshot — the Iceberg snapshot-id scan.
 
         This is what a daily run must use to see only ITS OWN routed rows:
         ``read()`` unions every committed snapshot, so a second run into the
-        same table would aggregate duplicated copies of the corpus."""
+        same table would aggregate duplicated copies of the corpus.
+
+        A snapshot replaced by ``compact()`` stays readable (time travel)
+        until ``expire_snapshots()`` removes its files; reading an expired
+        snapshot raises a clear error (from ``_data_paths``) rather than
+        the data-loss one."""
         rec = self.committed().get(txid)
         return self._read_recs(spark, [rec]) if rec is not None else None
 
@@ -155,16 +183,158 @@ class AtomicTable:
         (None -> everything). The Iceberg incremental-scan analogue of the
         reference's partial mode / mid-file skip (javaGCStatsParser.sh:111-120,
         SURVEY.md S5): a consumer records the last txid it processed and
-        re-reads only newer snapshots."""
+        re-reads only newer snapshots.
+
+        Compaction interplay (same contract as Iceberg's incremental scan
+        over a rewrite): a compaction snapshot is skipped when EVERY source
+        snapshot it folded was at-or-before the watermark (the consumer
+        already saw those rows), included when every source is after it,
+        and a clear error when it straddles — an incremental consumer must
+        checkpoint at a maintenance boundary, not across one."""
         recs = list(self.committed().values())
-        if txid is not None:
-            seen = [i for i, r in enumerate(recs) if r["txid"] == txid]
-            recs = recs[seen[0] + 1:] if seen else recs
-        return self._read_recs(spark, recs)
+        order = {r["txid"]: i for i, r in enumerate(recs)}
+        by_txid = {r["txid"]: r for r in recs}
+
+        def roots(r: dict) -> list[str]:
+            # resolve a (possibly nested) compaction to its base snapshots
+            src = r.get("compacted_from")
+            if not src:
+                return [r["txid"]]
+            return [b for s in src for b in roots(by_txid[s])]
+
+        if txid is not None and txid in order:
+            cut = order[txid]
+            picked: list[dict] = []
+            for i, r in enumerate(recs):
+                if i <= cut:
+                    continue
+                if r.get("compacted_from"):
+                    base = roots(r)
+                    before = [s for s in base if order[s] <= cut]
+                    if len(before) == len(base):
+                        continue
+                    if before:
+                        raise ValueError(
+                            f"incremental read from txid={txid} crosses "
+                            f"compaction {r['txid']} that folded snapshots "
+                            "on both sides of the watermark; re-read from "
+                            "scratch or checkpoint at a maintenance boundary"
+                        )
+                picked.append(r)
+            recs = picked
+        return self._read_recs(spark, self._live(recs))
 
     def last_txid(self) -> str | None:
         recs = list(self.committed().values())
         return recs[-1]["txid"] if recs else None
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        return self._read_recs(spark, list(self.committed().values()))
+        return self._read_recs(spark, self._live(list(self.committed().values())))
+
+    # ---------------------------------------------------------- maintenance
+
+    def partition_columns(self) -> list[str]:
+        """Discover the hive partition layout (`key=value` dirs) of the
+        live snapshots, outermost first — lets maintenance re-write with
+        the same layout so partition pruning survives compaction."""
+        for rec in self._live(list(self.committed().values())):
+            cur = Path(rec["path"])
+            cols: list[str] = []
+            while cur.exists():
+                subs = [d for d in cur.iterdir() if d.is_dir() and "=" in d.name]
+                if not subs:
+                    break
+                cols.append(subs[0].name.split("=", 1)[0])
+                cur = subs[0]
+            if cols:
+                return cols
+        return []
+
+    def file_stats(self) -> dict:
+        """Live part-file count and bytes — the compaction trigger metric."""
+        n, size = 0, 0
+        for rec in self._live(list(self.committed().values())):
+            p = Path(rec["path"])
+            if p.exists():
+                for f in p.rglob("part-*.parquet"):
+                    n += 1
+                    size += f.stat().st_size
+        return {"files": n, "bytes": size}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        txid: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_by: list[str] | None = None,
+    ) -> dict | None:
+        """Bin-pack every live snapshot into ONE new snapshot — the Iceberg
+        ``rewrite_data_files`` action re-expressed on the plain-parquet
+        snapshot layout.
+
+        Micro-batch / per-day commits accumulate small files (at 100 TB a
+        streaming sink emits thousands per hour); scans then pay one task +
+        one open per file. ``compact`` reads the live union, coalesces to
+        ``ceil(live_bytes / target_file_bytes)`` output files (coalesce, not
+        repartition: bin-packing needs no shuffle; with ``partition_by`` the
+        write re-partitions by the partition columns instead so each
+        directory gets locality), publishes it as a normal write-audit-
+        publish snapshot, then atomically rewrites the manifest marking the
+        sources ``replaced_by``. Source data stays on disk for time travel
+        until ``expire_snapshots()`` — exactly Iceberg's two-step contract.
+        Idempotent on txid like ``commit``. Returns None when there is
+        nothing to fold (fewer than two live data snapshots).
+        """
+        existing = self.committed().get(txid)
+        if existing is not None:
+            return existing
+        recs = list(self.committed().values())
+        live = self._live(recs)
+        paths, _ = self._data_paths(live)
+        if len(live) < 2 or not paths:
+            return None
+        df = spark.read.option("basePath", str(self.root)).parquet(*paths)
+        stats = self.file_stats()
+        n_files = max(1, -(-stats["bytes"] // max(1, target_file_bytes)))
+        if partition_by:
+            out = df.repartition(n_files, *partition_by)
+        else:
+            out = df.coalesce(n_files)
+        rec = self.commit(
+            out, txid, partition_by=partition_by,
+            meta={
+                "compacted_from": [r["txid"] for r in live],
+                "files_before": stats["files"],
+                "bytes": stats["bytes"],
+            },
+        )
+        # mark sources replaced; re-read first so commits appended by THIS
+        # compaction (the rec above) and the source flags merge atomically
+        merged = list(self.committed().values())
+        folded = set(rec["compacted_from"])
+        for r in merged:
+            if r["txid"] in folded:
+                r["replaced_by"] = txid
+        self._rewrite_manifest(merged)
+        return rec
+
+    def expire_snapshots(self) -> list[str]:
+        """Delete the data files of snapshots a compaction replaced — the
+        Iceberg ``expire_snapshots`` action. The manifest records stay (so
+        ``is_committed`` keeps resume idempotent and the lineage of every
+        txid survives) but gain ``expired: true``; their directories are
+        removed. Live snapshots are never touched. Returns removed paths."""
+        import shutil
+
+        recs = list(self.committed().values())
+        removed: list[str] = []
+        for r in recs:
+            if r.get("replaced_by") and not r.get("expired"):
+                p = Path(r["path"])
+                if p.exists():
+                    shutil.rmtree(p)
+                r["expired"] = True
+                removed.append(r["path"])
+        if removed:
+            self._rewrite_manifest(recs)
+        return removed

@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0 enables salted repartition before the sink write")
     p.add_argument("--render", action="store_true",
                    help="also write the NN_*SummaryRpt.txt text reports")
+    p.add_argument("--maintain", action="store_true",
+                   help="after the run, compact every snapshot table under "
+                        "--out (bin-pack small files, keep partition layout) "
+                        "and expire the replaced snapshots — the daily "
+                        "maintenance job a long-lived 100 TB table needs")
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="compaction target file size (with --maintain)")
     return p
 
 
@@ -72,8 +79,28 @@ def main(argv: list[str] | None = None) -> int:
 
         rendered = [str(p) for p in
                     render_all(args.out, res.reports, args.recorddate)]
+    maintenance = {}
+    if args.maintain:
+        from pathlib import Path
+
+        from log_parser_spark.sources.atomic import AtomicTable
+
+        for mf in sorted(Path(args.out).rglob("_manifest.jsonl")):
+            t = AtomicTable(mf.parent)
+            rec = t.compact(
+                spark, f"maint-{args.recorddate}",
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+                partition_by=t.partition_columns() or None,
+            )
+            expired = t.expire_snapshots() if rec else []
+            maintenance[str(mf.parent.relative_to(args.out))] = {
+                "compacted": rec is not None,
+                "expired_snapshots": len(expired),
+                "live_files": t.file_stats()["files"],
+            }
     print(json.dumps({
         **({"rendered": rendered} if rendered else {}),
+        **({"maintenance": maintenance} if maintenance else {}),
         "rows_in": res.rows_in,
         "sink_counts": res.sink_counts,
         "committed": len(res.committed),
