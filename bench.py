@@ -56,6 +56,8 @@ def _prime_io(dataset_dir: str) -> None:
     os.sync()
     buf = bytearray(1 << 20)
     for p in sorted(Path(dataset_dir).rglob("*.parquet")):
+        if not p.is_file():  # datasets keep dirs named *.parquet
+            continue
         with open(p, "rb", buffering=0) as f:
             while f.readinto(buf):
                 pass
