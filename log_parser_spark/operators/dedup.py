@@ -151,6 +151,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: remove training documents containing ANY
+    word n-gram that occurs in an evaluation set — the GPT-3 appendix-C /
+    PaLM overlap rule (13-grams in the papers; ``n`` parameterized, tests
+    use 3). Beyond-reference training-data op; no log-parser analogue.
+
+    Spark shape for 100 TB: the benchmark's distinct n-gram set is tiny
+    next to the corpus, so it BROADCASTS; training docs explode their
+    distinct n-grams once and probe the broadcast hash map map-side — the
+    corpus itself is never shuffled for the membership test, and the only
+    aggregation is per-doc over its own grams (partial/map-side combine).
+
+    mode: ``drop`` -> the clean corpus (contaminated docs removed);
+    ``mark`` -> full corpus + ``contaminated`` flag + hit-gram count;
+    ``report`` -> (doc_id, contaminated_grams) for contaminated docs only.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_ngrams(F.col(bcol), n))).alias("g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("contaminated_grams"))
+    )
+    if mode == "report":
+        return hits.orderBy("doc_id")
+    if mode == "mark":
+        return (
+            docs.join(hits, "doc_id", "left")
+            .withColumn("contaminated", F.col("contaminated_grams").isNotNull())
+            .withColumn(
+                "contaminated_grams", F.coalesce("contaminated_grams", F.lit(0))
+            )
+        )
+    if mode == "drop":
+        return docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+    raise ValueError(f"unknown mode {mode!r} (drop|mark|report)")
+
+
 # ---------------------------------------------------------------- MinHash/LSH
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[list[int], list[int]]:
