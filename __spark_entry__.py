@@ -1191,13 +1191,13 @@ def oracle_sql() -> dict[str, str]:
         # '%7' eval slice replayed as a distinct-gram semi-join.
         "decontaminate": r"""
             WITH bw AS (SELECT string_split_regex(text, '\s+') AS ws
-                        FROM documents WHERE doc_id LIKE '%7'),
+                        FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '%7'),
             bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
                        range(1, greatest(len(ws) - 2, 1) + 1),
                        i -> array_to_string(ws[i:i+2], ' ')))) AS g
                    FROM bw),
             tw AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
-                   FROM documents WHERE doc_id NOT LIKE '%7'),
+                   FROM documents WHERE CAST(doc_id AS VARCHAR) NOT LIKE '%7'),
             tg AS (SELECT doc_id, unnest(list_distinct(list_transform(
                        range(1, greatest(len(ws) - 2, 1) + 1),
                        i -> array_to_string(ws[i:i+2], ' ')))) AS g
