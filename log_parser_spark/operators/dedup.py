@@ -57,7 +57,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.groupBy(F.xxhash64(text_col).alias("text_hash"), F.col(text_col))
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
         .select("keeper", "n_dups")
-        .orderBy("keeper")
     )
 
 
@@ -121,7 +120,7 @@ def ngram_jaccard_pairs(
         )
         return jac.filter(F.col("jaccard") >= threshold).select(
             "id_a", "id_b", "jaccard"
-        ).orderBy("id_a", "id_b")
+        )
 
     # capped path: hot grams leave the index, so the index count is only a
     # lower bound — candidates verify EXACTLY against the full gram arrays
@@ -147,7 +146,6 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -190,7 +188,7 @@ def decontaminate(
         .agg(F.count_distinct("g").alias("contaminated_grams"))
     )
     if mode == "report":
-        return hits.orderBy("doc_id")
+        return hits
     if mode == "mark":
         return (
             docs.join(hits, "doc_id", "left")
@@ -315,7 +313,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified.orderBy("id_a", "id_b")
+    return verified
 
 
 # ------------------------------------------------------------------ SimHash
@@ -472,7 +470,6 @@ def simhash_near_dups(
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
     )
 
 

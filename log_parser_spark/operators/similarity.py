@@ -273,5 +273,4 @@ def near_dup_pairs_lsh(
         .withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .orderBy("id_a", "id_b")
     )

@@ -105,3 +105,28 @@ def test_pack_chunks_single_exchange_on_stream_key(spark):
     plan = _plan(SA.pack_chunks(docs, max_len=1024))
     assert plan.count("hashpartitioning(") == 1
     assert "hashpartitioning(source" in plan
+
+
+def test_pair_operators_have_no_terminal_sort(spark):
+    """Scale-path pair producers must NOT end in a global sort: a terminal
+    orderBy adds a rangepartitioning Exchange over the full pair set, which
+    at 100 TB is a pure-waste shuffle (callers that want display order sort
+    the final small result themselves). Asserted per VERDICT r3 ask #4."""
+    from log_parser_spark.operators import dedup as D
+    from log_parser_spark.operators import similarity as S
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    for df in (
+        D.minhash_lsh_pairs(docs, threshold=0.5),
+        D.simhash_near_dups(docs, max_hamming=8),
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.5),
+        D.exact_dedup(docs),
+        D.decontaminate(docs.filter(F.col("doc_id") % 10 != 7),
+                        docs.filter(F.col("doc_id") % 10 == 7),
+                        n=3, mode="report"),
+        S.near_dup_pairs_lsh(emb, threshold=0.4, dim=64),
+    ):
+        plan = _plan(df)
+        assert "rangepartitioning" not in plan, plan[:2000]
