@@ -417,3 +417,17 @@ def test_pack_chunks_matches_python_stream(docs, docs_pd):
         include_groups=False)
     exp = got.groupby("source")["n_tok"].sum()
     assert tot.sort_index().equals(exp.sort_index())
+
+
+def test_connected_components_chain_pointer_doubling(spark):
+    """A 500-node chain has diameter 499: plain min-label propagation would
+    need ~499 rounds, pointer doubling must label it in <= 10 (2^10 > 499).
+    Labels must all collapse to the chain's min id."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(499)], "id_a long, id_b long"
+    )
+    comp = D.connected_components(pairs, max_iter=10)
+    rows = comp.collect()
+    comp.unpersist()
+    assert len(rows) == 500
+    assert {r["comp"] for r in rows} == {0}
