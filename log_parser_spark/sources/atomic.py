@@ -188,40 +188,65 @@ class AtomicTable:
         Compaction interplay (same contract as Iceberg's incremental scan
         over a rewrite): a compaction snapshot is skipped when EVERY source
         snapshot it folded was at-or-before the watermark (the consumer
-        already saw those rows), included when every source is after it,
-        and a clear error when it straddles — an incremental consumer must
-        checkpoint at a maintenance boundary, not across one."""
+        already saw those rows) and included when every source is after it.
+        When it straddles, the unconsumed post-watermark sources are served
+        DIRECTLY (time travel — they stay on disk until
+        ``expire_snapshots``); a consumer checkpointed exactly at a
+        compaction txid therefore keeps reading increments. Only when those
+        sources are already expired does this raise — at that point the
+        un-seen rows exist only inside a fold that also contains seen rows,
+        so an exact increment is genuinely impossible."""
         recs = list(self.committed().values())
         order = {r["txid"]: i for i, r in enumerate(recs)}
         by_txid = {r["txid"]: r for r in recs}
 
-        def roots(r: dict) -> list[str]:
-            # resolve a (possibly nested) compaction to its base snapshots
-            src = r.get("compacted_from")
-            if not src:
-                return [r["txid"]]
-            return [b for s in src for b in roots(by_txid[s])]
-
         if txid is not None and txid in order:
             cut = order[txid]
-            picked: list[dict] = []
+
+            def roots(r: dict) -> list[str]:
+                # resolve a (possibly nested) compaction to its base
+                # snapshots, but stop at anything the consumer already saw
+                # (index <= cut): a consumed fold is a leaf, not a subtree
+                src = r.get("compacted_from")
+                if not src:
+                    return [r["txid"]]
+                out: list[str] = []
+                for s in src:
+                    if order[s] <= cut:
+                        out.append(s)
+                    else:
+                        out.extend(roots(by_txid[s]))
+                return out
+
+            picked: dict[str, dict] = {}
             for i, r in enumerate(recs):
                 if i <= cut:
                     continue
                 if r.get("compacted_from"):
                     base = roots(r)
-                    before = [s for s in base if order[s] <= cut]
-                    if len(before) == len(base):
+                    after = [s for s in base if order[s] > cut]
+                    if not after:
+                        continue  # folded only already-seen snapshots
+                    if len(after) < len(base):
+                        # straddling fold: serve the unconsumed sources
+                        # directly while their files still exist
+                        gone = [s for s in after if by_txid[s].get("expired")]
+                        if gone:
+                            raise ValueError(
+                                f"incremental read from txid={txid} crosses "
+                                f"compaction {r['txid']} whose unconsumed "
+                                f"sources {gone} were expired; re-read from "
+                                "scratch or checkpoint at a maintenance "
+                                "boundary before expiring"
+                            )
+                        for s in after:
+                            picked[s] = {
+                                k: v for k, v in by_txid[s].items()
+                                if k != "replaced_by"
+                            }
                         continue
-                    if before:
-                        raise ValueError(
-                            f"incremental read from txid={txid} crosses "
-                            f"compaction {r['txid']} that folded snapshots "
-                            "on both sides of the watermark; re-read from "
-                            "scratch or checkpoint at a maintenance boundary"
-                        )
-                picked.append(r)
-            recs = picked
+                picked.setdefault(r["txid"], r)
+            recs = list(picked.values())
         return self._read_recs(spark, self._live(recs))
 
     def last_txid(self) -> str | None:
@@ -279,14 +304,29 @@ class AtomicTable:
         repartition: bin-packing needs no shuffle; with ``partition_by`` the
         write re-partitions by the partition columns instead so each
         directory gets locality), publishes it as a normal write-audit-
-        publish snapshot, then atomically rewrites the manifest marking the
-        sources ``replaced_by``. Source data stays on disk for time travel
-        until ``expire_snapshots()`` — exactly Iceberg's two-step contract.
-        Idempotent on txid like ``commit``. Returns None when there is
-        nothing to fold (fewer than two live data snapshots).
+        publish snapshot AND flags the sources ``replaced_by`` in ONE atomic
+        manifest rewrite — publishing the fold and retiring its sources in
+        two steps would leave a crash window where read() double-counts
+        every folded row. Source data stays on disk for time travel until
+        ``expire_snapshots()`` — exactly Iceberg's two-step contract.
+        Idempotent on txid like ``commit``; the idempotent path also
+        REPAIRS a manifest left by a pre-fix crash (compaction committed,
+        sources unflagged). Returns None when there is nothing to fold
+        (fewer than two live data snapshots).
         """
         existing = self.committed().get(txid)
         if existing is not None:
+            # repair: if any folded source lost its replaced_by flag (a
+            # crash between the old two-step publish), re-flag and rewrite
+            folded = set(existing.get("compacted_from") or [])
+            merged = list(self.committed().values())
+            dirty = False
+            for r in merged:
+                if r["txid"] in folded and not r.get("replaced_by"):
+                    r["replaced_by"] = txid
+                    dirty = True
+            if dirty:
+                self._rewrite_manifest(merged)
             return existing
         recs = list(self.committed().values())
         live = self._live(recs)
@@ -300,22 +340,43 @@ class AtomicTable:
             out = df.repartition(n_files, *partition_by)
         else:
             out = df.coalesce(n_files)
-        rec = self.commit(
-            out, txid, partition_by=partition_by,
-            meta={
-                "compacted_from": [r["txid"] for r in live],
-                "files_before": stats["files"],
-                "bytes": stats["bytes"],
-            },
-        )
-        # mark sources replaced; re-read first so commits appended by THIS
-        # compaction (the rec above) and the source flags merge atomically
+
+        # stage + publish the data directory (crash before the manifest
+        # rewrite leaves an orphan snap dir that is invisible to readers
+        # and reclaimed on retry)
+        staging = self.root / "_staging" / txid
+        if staging.exists():
+            import shutil
+
+            shutil.rmtree(staging)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(staging))
+        final = self.root / f"snap={txid}"
+        if final.exists():  # orphan from a crashed attempt, never committed
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
+        rec = {
+            "txid": txid,
+            "path": str(final),
+            "committed_at": time.time(),
+            "schema": out.schema.json(),
+            "compacted_from": [r["txid"] for r in live],
+            "files_before": stats["files"],
+            "bytes": stats["bytes"],
+        }
+        # single atomic manifest rewrite: append the compaction rec and
+        # flag its sources together — no intermediate double-count state
         merged = list(self.committed().values())
         folded = set(rec["compacted_from"])
         for r in merged:
             if r["txid"] in folded:
                 r["replaced_by"] = txid
-        self._rewrite_manifest(merged)
+        self._rewrite_manifest(merged + [rec])
         return rec
 
     def expire_snapshots(self) -> list[str]:

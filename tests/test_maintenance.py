@@ -112,11 +112,53 @@ def test_incremental_read_across_compaction(spark, table):
     inc = table.read_since(spark, "day3")
     assert inc.count() == 50  # only day4; maint1's rows were already seen
 
-    # consumer checkpointed BEFORE the maintenance boundary: the second
-    # compaction straddles the watermark -> explicit error, never dup rows
+    # the second compaction folds maint1 (seen) + day4 (unseen): the
+    # unconsumed source is served DIRECTLY via time travel — no error,
+    # no dup rows — as long as its files still exist
     table.compact(spark, "maint2", target_file_bytes=1 << 30)
-    with pytest.raises(ValueError, match="straddle|both sides"):
+    inc2 = table.read_since(spark, "day3")
+    assert inc2.count() == 50
+    assert sorted(r["id"] for r in inc2.collect()) == list(range(400, 450))
+    # consumer checkpointed exactly at the first compaction txid: same
+    # increment (maint1's roots are all consumed; day4 served directly)
+    inc3 = table.read_since(spark, "maint1")
+    assert inc3.count() == 50
+
+    # once the straddled source is EXPIRED the exact increment is truly
+    # impossible -> explicit error, never dup rows
+    table.expire_snapshots()
+    with pytest.raises(ValueError, match="expired"):
         table.read_since(spark, "day3").count()
+    # a consumer checkpointed at the latest compaction keeps working
+    assert table.read_since(spark, "maint2") is None or \
+        table.read_since(spark, "maint2").count() == 0
+
+
+def test_compact_single_rewrite_and_crash_repair(spark, table):
+    """The fold and its sources' replaced_by flags must land in ONE
+    manifest state (no double-count window), and compact(txid) must repair
+    a manifest left half-published by a pre-fix crash."""
+    import json
+
+    rec = table.compact(spark, "maint1", target_file_bytes=1 << 30)
+    assert table.read(spark).count() == 400  # never double-counted
+
+    # simulate the old crash: compaction rec present, source flags lost
+    recs = list(table.committed().values())
+    for r in recs:
+        r.pop("replaced_by", None)
+    table._rewrite_manifest(recs)
+    assert table.read(spark).count() == 800  # the crash state DOES dup
+
+    again = table.compact(spark, "maint1")  # idempotent path repairs
+    assert again["txid"] == rec["txid"]
+    assert table.read(spark).count() == 400
+    flags = {
+        r["txid"]: r.get("replaced_by")
+        for r in table.committed().values()
+        if r["txid"].startswith("day")
+    }
+    assert all(v == "maint1" for v in flags.values())
 
 
 def test_cli_maintain_compacts_out_tree(spark, dataset_dir, tmp_path, capsys):
