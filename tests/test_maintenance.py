@@ -212,3 +212,59 @@ def test_partitioned_compaction(spark, tmp_path):
     # partition directory layout preserved for pruning
     snap = [p for p in (tmp_path / "part_tbl").glob("snap=m/cat=*")]
     assert len(snap) == 3
+
+
+def test_multiday_incremental_pipeline_with_midstream_compaction(
+    spark, dataset_dir, tmp_path, truth,
+):
+    """The real daily-job shape (VERDICT r3 ask #8): three recorddates into
+    ONE out dir, table maintenance (--maintain: compact + expire) after day
+    2, an incremental consumer checkpointed AT the maintenance boundary —
+    day-3 increments and history rows must be exact post-compaction
+    (S5 + S8 + S11 exercised together)."""
+    import main as cli
+    from log_parser_spark.plans.pipeline import read_report
+
+    out = tmp_path / "daily"
+    days = ["2015-06-11", "2015-06-12", "2015-06-13"]
+
+    rc = cli.main([
+        "--dataset", str(dataset_dir), "--out", str(out),
+        "--cores", "8", "--recorddate", days[0],
+    ])
+    assert rc == 0
+    rc = cli.main([
+        "--dataset", str(dataset_dir), "--out", str(out),
+        "--cores", "8", "--recorddate", days[1], "--maintain",
+    ])
+    assert rc == 0
+
+    sinks = AtomicTable(out / "sinks")
+    # maintenance ran last: the consumer checkpoint IS the compaction txid
+    boundary = sinks.last_txid()
+    assert boundary == f"maint-{days[1]}"
+    pre_rows = sinks.read(spark).count()
+
+    rc = cli.main([
+        "--dataset", str(dataset_dir), "--out", str(out),
+        "--cores", "8", "--recorddate", days[2],
+    ])
+    assert rc == 0
+
+    # day-3 increment from the maintenance boundary = exactly day 3's
+    # routed snapshot, no replay of folded day-1/2 rows, no dups
+    inc = sinks.read_since(spark, boundary)
+    day3 = sinks.read_txid(spark, f"{days[2]}-routed")
+    assert inc.count() == day3.count() > 0
+    # full table = compacted days 1-2 + day 3 (expire left no double-count)
+    assert sinks.read(spark).count() == pre_rows + day3.count()
+
+    # history is exact post-compaction: one row set per date with data
+    hist = AtomicTable(out / "history/http_perf").read(spark)
+    dates = sorted({r["record_date"] for r in hist.select("record_date").collect()})
+    assert dates == days
+    sc = read_report(spark, out, "status_counts", txid=days[2])
+    got = sum(r["cnt"] for r in sc.collect())
+    exp = int(((truth.category == "access")
+               & (truth.event_date == days[2])).sum())
+    assert got == exp
