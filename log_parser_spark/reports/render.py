@@ -90,6 +90,23 @@ def render_access_summary(rpts: dict[str, DataFrame], recorddate: str) -> str:
         ("status", "rsp", "d"), ("cnt", "cnt", "8d"), ("pct", "pc", "7.2f"),
     ]))
 
+    # response-code x server matrix (webAccessLogParser.sh:674,826-847):
+    # one row per server, one fixed column per code
+    if "status_by_server" in rpts:
+        mat = _pd(rpts["status_by_server"])
+        s.append(_sec("Response code counts by Web Server"))
+        s.append(_table(mat, [("web_server", "srv", "s")] + [
+            (c, c, "6d") for c in mat.columns if c != "web_server"
+        ]))
+
+    # request-method x server matrix (sh:673,794-824) — same layout
+    if "method_by_server" in rpts:
+        mm = _pd(rpts["method_by_server"])
+        s.append(_sec("Request method counts by Web Server"))
+        s.append(_table(mm, [("web_server", "srv", "s")] + [
+            (c, c, "6d") for c in mm.columns if c != "web_server"
+        ]))
+
     top = _pd(rpts["top_slowest"])
     s.append(_sec("Top 10 (slowest) responses by Response Time"))
     s.append(_table(top, [
@@ -124,6 +141,21 @@ def render_access_summary(rpts: dict[str, DataFrame], recorddate: str) -> str:
         s.append(_table(dds, [
             ("domain", "Domain", "s"), ("uuc", "uuc", "5d"), ("usc", "usc", "5d"),
         ]))
+
+    # domain-hour pivots (sh:916-934,1241-1270): Domain, H0..H23. The
+    # pivot's numeric column names get renamed (itertuples mangles
+    # non-identifier names to _1.._24).
+    _hmap = {str(h): f"H{h}" for h in range(24)}
+    _hcols = [(f"H{h}", f"H{h}", "5d") for h in range(24)]
+    if "domain_hour_users" in rpts:
+        dhu = _pd(rpts["domain_hour_users"]).rename(columns=_hmap)
+        s.append(_sec("Hourly Unique User count by Domain"))
+        s.append(_table(dhu, [("domain", "Domain", "s")] + _hcols))
+
+    if "domain_hour_sessions" in rpts:
+        dhs = _pd(rpts["domain_hour_sessions"]).rename(columns=_hmap)
+        s.append(_sec("Hourly Session count by Domain"))
+        s.append(_table(dhs, [("domain", "Domain", "s")] + _hcols))
 
     ext = _pd(rpts["ext_stats"])
     s.append(_sec("Summary by Extension"))
@@ -185,7 +217,9 @@ def render_weberror_summary(rpts: dict[str, DataFrame], recorddate: str) -> str:
     s.append(_table(by_srv, [("web_server", "srv", "s"), ("err_cnt", "cnt", "7d")]))
     by_msg = _pd(rpts["weberror_by_msg"])
     s.append(_sec("Error counts by (error, detail)"))
-    s.append(_table(by_msg, [("errmsg", "err", "s"), ("cnt", "cnt", "7d")]))
+    s.append(_table(by_msg, [
+        ("level", "lvl", "s"), ("errmsg", "err", "s"), ("cnt", "cnt", "7d"),
+    ]))
     peak = _pd(rpts["mpm_peak"])
     s.append(_sec("mpmstats: peak busy per server"))
     s.append(_table(peak, [

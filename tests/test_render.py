@@ -261,3 +261,87 @@ def test_gc_daily_values(rendered, day_truth):
         afgc = round(fgc_real / fgc_all, 4) if fgc_all else 0.0
         assert r[4] == format(agc, "7.3f"), r[0]
         assert r[5] == format(afgc, "7.3f"), r[0]
+
+
+def test_browser_and_os_usage_values(rendered, access_truth):
+    """Golden values for Browser/OS usage (webAccessLogParser.sh:735-736,
+    1463-1513): distinct-uid count per browser/OS + percentage of total,
+    sorted by count desc."""
+    for sec, hdr, col in [
+        ("Browser Usage Statistics", "bwsr\tuuc\tuupc", "a_browser"),
+        ("OS Usage Statistics", "os\tuuc\tuupc", "a_os"),
+    ]:
+        rows = _section_rows(rendered["02_WebAccessLogSummaryRpt.txt"], sec, hdr)
+        exp = access_truth.groupby(col)["a_uid"].nunique()
+        total = exp.sum()
+        exp = exp.reset_index().sort_values(["a_uid", col],
+                                            ascending=[False, True])
+        assert [r[0] for r in rows] == exp[col].tolist(), sec
+        for r, (_, e) in zip(rows, exp.iterrows()):
+            assert int(r[1]) == e["a_uid"], (sec, r)
+            assert r[2] == format(round(e["a_uid"] / total * 100, 2), "7.2f"), (sec, r)
+
+
+def test_status_by_server_matrix_values(rendered, access_truth):
+    """Golden values for the response-code x server matrix
+    (webAccessLogParser.sh:674,826-847): every cell equals the truth's
+    (server, status) count; absent combinations are 0."""
+    txt = rendered["02_WebAccessLogSummaryRpt.txt"]
+    lines = txt.splitlines()
+    i = lines.index("===== Response code counts by Web Server =====")
+    hdr_line = next(ln for ln in lines[i:] if ln.startswith("srv\t"))
+    hdr = hdr_line.split("\t")
+    assert all(h.startswith("s") for h in hdr[1:])
+    rows = _section_rows(txt, "Response code counts by Web Server", hdr_line)
+    exp = access_truth.groupby(["source", "a_status"]).size()
+    servers = sorted(access_truth.source.unique())
+    assert [r[0] for r in rows] == servers
+    seen = 0
+    for r in rows:
+        for h, v in zip(hdr[1:], r[1:]):
+            e = int(exp.get((r[0], int(h[1:])), 0))
+            assert int(v) == e, (r[0], h)
+            seen += e
+    # the fixed code list covers the whole corpus (no silent drop)
+    assert seen == len(access_truth)
+
+
+def test_domain_hour_pivot_values(rendered, access_truth):
+    """Golden values for the domain-hour pivots (sh:916-934,1241-1270):
+    H0..H23 distinct users / distinct sessions per domain."""
+    txt = rendered["02_WebAccessLogSummaryRpt.txt"]
+    hdr = "Domain\t" + "\t".join(f"H{h}" for h in range(24))
+
+    rows = _section_rows(txt, "Hourly Unique User count by Domain", hdr)
+    exp = access_truth.groupby(["a_domain", "hour"])["a_uid"].nunique()
+    assert [r[0] for r in rows] == sorted(access_truth.a_domain.unique())
+    for r in rows:
+        for h in range(24):
+            assert int(r[1 + h]) == int(exp.get((r[0], h), 0)), (r[0], h)
+
+    rows = _section_rows(txt, "Hourly Session count by Domain", hdr)
+    sess = access_truth[access_truth.a_jsession != "-"]
+    exp = sess.groupby(["a_domain", "hour"])["a_jsession"].nunique()
+    assert [r[0] for r in rows] == sorted(sess.a_domain.unique())
+    for r in rows:
+        for h in range(24):
+            assert int(r[1 + h]) == int(exp.get((r[0], h), 0)), (r[0], h)
+
+
+def test_weberror_summary_values(rendered, day_truth):
+    """Golden values for the error-log summary (webErrorLogParser.sh:
+    319-320,381-448): client_err counts by server and by (level, errmsg)."""
+    err = day_truth[(day_truth.family == "weberror")
+                    & (day_truth.e_subtype == "client_err")]
+    txt = rendered["03_WebErrorLogSummaryRpt.txt"]
+
+    rows = _section_rows(txt, "Error counts by server", "srv\tcnt")
+    exp = err.groupby("source").size().sort_index()
+    assert [r[0] for r in rows] == list(exp.index)
+    assert [int(r[1]) for r in rows] == exp.tolist()
+
+    rows = _section_rows(txt, "Error counts by (error, detail)",
+                         "lvl\terr\tcnt")
+    exp = err.groupby(["e_level", "e_errmsg"]).size().sort_index()
+    assert [(r[0], r[1]) for r in rows] == list(exp.index)
+    assert [int(r[2]) for r in rows] == exp.tolist()
