@@ -63,6 +63,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    gate: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -71,16 +72,20 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            gate[name] = {"status": "fail", "err": f"spark: {exc}"[:300]}
             print(f"FAIL  {name}: spark error {exc}")
             continue
         el = time.time() - t0
         if name not in oracles:
+            gate[name] = {"status": "rows_only", "rows": len(sdf),
+                          "elapsed_s": round(el, 1)}
             print(f"ROWS  {name}: {len(sdf)} rows ({el:.1f}s, rows-only)")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            gate[name] = {"status": "fail", "err": f"duckdb: {exc}"[:300]}
             print(f"FAIL  {name}: duckdb error {exc}")
             continue
         s, o = normalize(sdf), normalize(odf)
@@ -103,10 +108,29 @@ def main() -> int:
                 status.append(f"values differ, first: {diff}")
         if status:
             failures.append(name)
+            gate[name] = {"status": "fail", "err": "; ".join(status)[:300]}
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
+            gate[name] = {"status": "ok_hash", "rows": len(s),
+                          "elapsed_s": round(el, 1)}
             print(f"OK    {name}: {len(s)} rows ({el:.1f}s)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    # committable gate artifact (VERDICT r3 ask #3): GATE_JSON=path
+    gate_path = os.environ.get("GATE_JSON")
+    if gate_path:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(gate),
+            "ok_hash": sum(1 for g in gate.values() if g["status"] == "ok_hash"),
+            "rows_only": sum(1 for g in gate.values() if g["status"] == "rows_only"),
+            "fail": len(failures),
+            "failures": failures,
+            "queries": gate,
+        }
+        Path(gate_path).write_text(json.dumps(summary, indent=1) + "\n")
+        print(f"gate json -> {gate_path}")
     return 1 if failures else 0
 
 
