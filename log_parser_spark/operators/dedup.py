@@ -320,28 +320,32 @@ def minhash_lsh_pairs(
 
 def _simhash_kernel(text: pd.Series) -> pd.Series:
     """Arrow-batched SimHash: factorize words, hash the vocabulary once,
-    bit-vote with one segment-reduce over the whole batch — O(batch words)."""
-    vocab: dict[str, int] = {}
-    word_idx: list[int] = []
-    starts: list[int] = []
-    for t in text.fillna(""):
-        starts.append(len(word_idx))
-        for w in t.split():
-            word_idx.append(vocab.setdefault(w, len(vocab)))
-    n_docs = len(text)
-    if not vocab:
-        return pd.Series([0] * n_docs, index=text.index, dtype="int64")
+    bit-vote with one segment-reduce over the whole batch — O(batch words).
 
-    h = _hash64_uniques(list(vocab))                            # (U,)
+    Tokenize/factorize run at C speed (``chain.from_iterable`` +
+    ``pd.factorize``'s hash table); the only Python-level loop left is the
+    O(vocab) md5 in `_hash64_uniques`. The word->hash mapping is unchanged,
+    so signatures stay bit-identical to the DuckDB SQL replay oracle."""
+    from itertools import chain
+
+    toks = text.fillna("").str.split()
+    n_docs = len(text)
+    counts = toks.map(len).to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.Series([0] * n_docs, index=text.index, dtype="int64")
+    flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+    codes, uniques = pd.factorize(flat)
+
+    h = _hash64_uniques(uniques)                                # (U,)
     shifts = np.arange(64, dtype=np.uint64)
     bits = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)  # (U,64)
-    G = bits[np.array(word_idx, dtype=np.int64)]                # (W,64)
+    G = bits[codes]                                             # (W,64)
     # empty docs are zero-width segments; reduceat over the NONEMPTY starts
     # sums each doc's contiguous word rows exactly (zero-width neighbors
     # don't shift boundaries), empty docs keep all-zero votes
-    starts_a = np.array(starts, dtype=np.int64)
-    ends = np.append(starts_a[1:], len(word_idx))
-    empty = starts_a == ends
+    starts_a = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    empty = counts == 0
     votes = np.zeros((n_docs, 64), dtype=np.int64)
     if (~empty).any():
         votes[~empty] = np.add.reduceat(G, starts_a[~empty], axis=0)

@@ -70,7 +70,6 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
         .withColumn("cos", cosine_cols(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b")
     )
 
 

@@ -127,6 +127,7 @@ def test_pair_operators_have_no_terminal_sort(spark):
                         docs.filter(F.col("doc_id") % 10 == 7),
                         n=3, mode="report"),
         S.near_dup_pairs_lsh(emb, threshold=0.4, dim=64),
+        S.near_dup_pairs(emb, threshold=0.9),
     ):
         plan = _plan(df)
         assert "rangepartitioning" not in plan, plan[:2000]

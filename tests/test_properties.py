@@ -69,6 +69,34 @@ def test_simhash_deterministic_and_identity(texts):
         assert by_text.setdefault(t, h) == h
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80,
+)), min_size=0, max_size=25))
+def test_simhash_kernel_matches_naive_reference(texts):
+    """The batched factorize/reduceat kernel equals a naive per-doc
+    bit-vote (same md5-low-half word hash), incl. None/empty docs —
+    guards the round-4 C-speed tokenize rewrite bit-for-bit."""
+    import hashlib
+
+    from log_parser_spark.operators.dedup import _simhash_kernel
+
+    def ref(t: str | None) -> int:
+        votes = [0] * 64
+        for w in (t or "").split():
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+            for k in range(64):
+                votes[k] += 1 if (h >> k) & 1 else -1
+        out = 0
+        for k in range(64):
+            if votes[k] > 0:
+                out |= 1 << k
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    s = pd.Series(texts, dtype=object)
+    assert _simhash_kernel(s).tolist() == [ref(t) for t in texts]
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.sampled_from([
     "a b c d e f", "a b c d e g", "x y z w v u", "a b c",
