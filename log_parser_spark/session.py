@@ -57,6 +57,10 @@ def get_spark(
         # report snapshots; on a real cluster an Iceberg commit replaces this)
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
+        # dump a Python traceback when an Arrow worker dies instead of the
+        # opaque "Python worker exited unexpectedly" — zero cost until a crash
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
