@@ -510,12 +510,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     """
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # no .persist() here: localCheckpoint materializes the frame itself,
+    # and a persisted pre-checkpoint handle would be shadowed by the
+    # reassignment below and leak one cached frame per call
     comp = (
         edges.select(F.col("u").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    comp = comp.localCheckpoint()
     for _ in range(max_iter):
         nb = edges.join(comp, edges["v"] == comp["id"]).select(
             F.col("u").alias("id"), F.col("comp"))

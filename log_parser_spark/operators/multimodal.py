@@ -181,7 +181,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"only PCM16 supported (fmt={audio_format}, bits={bits})")
     samples = np.frombuffer(pcm, dtype="<i2")
     if channels > 1:  # downmix to mono deterministically
-        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+        # np.round before the int16 cast: a bare astype truncates toward
+        # zero, biasing samples low vs the conventional rounded average
+        samples = np.round(
+            samples.reshape(-1, channels).mean(axis=1)
+        ).astype(np.int16)
     return samples, rate
 
 

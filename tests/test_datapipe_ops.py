@@ -449,6 +449,28 @@ def test_multimodal_real_codecs_end_to_end(spark):
     dec, rate = M.decode_wav(M.encode_wav(s, 22050))
     assert rate == 22050 and (dec == s).all()
 
+    # stereo decode: downmix must be the ROUNDED average, not a float mean
+    # truncated toward zero ((1+2)/2 truncated is 1; rounded is 2)
+    import struct
+
+    lch = np.array([1, -1, 3, 32767, -32768, 101], dtype=np.int16)
+    rch = np.array([2, -2, 4, 32767, -32768, 102], dtype=np.int16)
+    inter = np.empty(lch.size * 2, dtype="<i2")
+    inter[0::2], inter[1::2] = lch, rch
+    pcm = inter.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 2, 22050, 22050 * 4, 4, 16,
+        b"data", len(pcm),
+    )
+    dec2, rate2 = M.decode_wav(hdr + pcm)
+    exp2 = np.round(
+        (lch.astype(np.float64) + rch.astype(np.float64)) / 2
+    ).astype(np.int16)
+    assert rate2 == 22050 and (dec2 == exp2).all()
+    assert dec2[0] == 2 and dec2[5] == 102  # truncation would give 1 / 101
+
     media = M.synthetic_real_media(spark, n=32)
     pdf = media.toPandas()
 
