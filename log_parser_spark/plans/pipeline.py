@@ -359,7 +359,16 @@ def run_pipeline(
         builders.update(_err_reports(err))
     if rpttype in ("all", "gc"):
         builders.update(_gc_reports(gc, th))
-    reports: dict[str, DataFrame] = {name: fn() for name, fn in builders.items()}
+    # Construct the ~44 report plans on a small thread pool instead of a
+    # serial loop: each plan is a chain of py4j round-trips (socket waits
+    # that release the GIL) plus driver-side Catalyst analysis — a
+    # core-count-independent CONSTANT that otherwise serializes into the
+    # wall of both scaling legs (and of every executor count on a real
+    # cluster). Insertion order is preserved for _bundle_reports chunking.
+    _names = list(builders)
+    with ThreadPoolExecutor(max_workers=8) as _ppool:
+        _frames = list(_ppool.map(lambda n: builders[n](), _names))
+    reports: dict[str, DataFrame] = dict(zip(_names, _frames))
 
     # Commit the reports as a FEW bundled (report_name, row_json) snapshots:
     # chunking parallelizes the core-count-independent driver cost (plan +
@@ -432,7 +441,11 @@ def run_pipeline(
         _mark("warm_caches")
 
         import os as _os
-        tail_workers = int(_os.environ.get("PIPELINE_TAIL_WORKERS", "4"))
+        # 8 concurrent commits: each is a small executor job plus
+        # driver-serial manifest work; 4 workers left the tail
+        # driver-bound at high parallelism (31 s of the 180 s local[8]
+        # leg at SF=2 — a constant that caps scaling efficiency).
+        tail_workers = int(_os.environ.get("PIPELINE_TAIL_WORKERS", "8"))
         with ThreadPoolExecutor(max_workers=tail_workers) as pool:
             futs = [
                 pool.submit(commit, name, df, txid, pby, meta)
