@@ -35,6 +35,11 @@ import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Sections staged here as they complete; the top-level error handler merges
+# them into its JSON so a late crash (round-5 run D died in scaling pair 3)
+# no longer throws away the measurements that DID finish.
+_PARTIAL: dict = {}
+
 
 def _tokenlog_sf(sf_dir: str) -> float:
     name = Path(sf_dir).name  # e.g. "sf0.1"
@@ -259,6 +264,7 @@ def main() -> None:
                                f"{leg['probe_s']:.3f}s > {probe_max}x min")
             return out
 
+        failed_legs: list[str] = []
         burnin = None
         if not os.environ.get("BENCH_SKIP_BURNIN"):
             # One UNTIMED hi-parallelism burn-in leg before the timed
@@ -271,9 +277,15 @@ def main() -> None:
             # so JIT matters less). JIT warmup is setup cost, amortized to
             # nothing over a real long-running job — same class as
             # _warmup/_prime_io, and recorded here for transparency.
-            burnin = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
-            print(f"# burn-in local[{hi_cores}]: {burnin['wall_s']}s "
-                  "(untimed)", file=sys.stderr)
+            try:
+                burnin = run_tokenlog(hi_cores, tl_dir,
+                                      shuffle=max(8, hi_cores))
+                print(f"# burn-in local[{hi_cores}]: {burnin['wall_s']}s "
+                      "(untimed)", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001 — burn-in is untimed
+                # diagnostics; a crash there must not kill the bench
+                print(f"# burn-in FAILED (continuing): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
         # disk guard: a pair writes+deletes two multi-GB sink trees and
         # spills shuffle under /tmp; refuse to start a pair below this
         # floor so the run truncates cleanly instead of dying on ENOSPC
@@ -286,11 +298,29 @@ def main() -> None:
                       f"{min_free_gb} GB floor — stopping pair attempts",
                       file=sys.stderr)
                 break
-            h = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
-            l = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
+            try:
+                h = run_tokenlog(hi_cores, tl_dir, shuffle=max(8, hi_cores))
+                l = run_tokenlog(lo_cores, tl_dir, shuffle=max(8, lo_cores))
+            except Exception as e:  # noqa: BLE001 — a transient Python-
+                # worker crash (seen ~1 in 10 SF=2 legs even with task
+                # retries) must consume ONE attempt, not the whole bench:
+                # round-5 run D lost two good pairs to a single crashed leg.
+                failed_legs.append(f"{type(e).__name__}: {e}")
+                spent = time.time() - bench_t0
+                print(f"# pair attempt CRASHED ({spent:.0f}s): "
+                      f"{failed_legs[-1][:200]}", file=sys.stderr)
+                if len(attempts) + len(failed_legs) >= max_attempts:
+                    break
+                if spent + spent / (len(attempts) + len(failed_legs)) > budget_s:
+                    break
+                continue
             probe_min = min(probe_min, h["probe_s"], l["probe_s"])
             eff_i = (h["seq_per_s"] / l["seq_per_s"]) / (hi_cores / lo_cores)
             attempts.append({"hi": h, "lo": l, "eff": eff_i})
+            _PARTIAL["scaling"] = {  # overwritten with the full dict later
+                "partial_pairs": [round(a["eff"], 3) for a in attempts],
+                "note": "in-progress pair efficiencies (run crashed before "
+                        "final classification)"}
             n_clean = sum(
                 1 for a in attempts if not _dirty(a["hi"], a["lo"], probe_min))
             spent = time.time() - bench_t0
@@ -298,7 +328,7 @@ def main() -> None:
                   f"steal={h['steal_pct']}/{l['steal_pct']}% "
                   f"clean={n_clean}/{clean_needed} ({spent:.0f}s)",
                   file=sys.stderr)
-            if len(attempts) >= max_attempts:
+            if len(attempts) + len(failed_legs) >= max_attempts:
                 break
             if n_clean >= clean_needed:
                 # dispersion rule: with the quota met, stop only when the
@@ -318,6 +348,16 @@ def main() -> None:
                 print(f"# budget: stopping after {len(attempts)} attempts "
                       f"({spent:.0f}s spent)", file=sys.stderr)
                 break
+        if not attempts:
+            # every pair attempt crashed — salvage a throughput number from
+            # one last guarded leg and report the failures instead of dying
+            scaling = {"error": "all scaling pair attempts crashed",
+                       "failed_legs": failed_legs,
+                       "core_job": {f"local{lo_cores}": core_lo,
+                                    f"local{hi_cores}": core_hi}}
+            best = burnin or run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
+            _finish(best, scaling, scaling_sf, n_tokens, sf_dir, cpus)
+            return
         # final classification with the global fastest probe
         for a in attempts:
             a["dirty"] = _dirty(a["hi"], a["lo"], probe_min)
@@ -396,10 +436,21 @@ def main() -> None:
             }
         if full is not hi:
             scaling[f"local{cpus}"] = full
+        if failed_legs:
+            scaling["steal_gate"]["failed_legs"] = failed_legs
         best = max((lo, hi, full), key=lambda r: r["seq_per_s"])
     else:
         best = run_tokenlog(cpus, tl_dir, shuffle=max(8, cpus))
         scaling = {f"local{cpus}": best}
+    _finish(best, scaling, scaling_sf, n_tokens, sf_dir, cpus)
+
+
+def _finish(best: dict, scaling: dict, scaling_sf: float, n_tokens: int,
+            sf_dir: str, cpus: int) -> None:
+    """Throughput + skew stress + per-query timings + the one JSON line.
+    Split out of main() so the all-pairs-crashed salvage path emits the
+    same shape; every completed section is also staged into _PARTIAL so a
+    later crash still publishes what was measured."""
     hi = best
 
     throughput = {
@@ -408,6 +459,9 @@ def main() -> None:
         "tokenlog_sf": scaling_sf,
         "rows": hi["rows"],
     }
+    _PARTIAL["throughput"] = throughput
+    _PARTIAL["scaling"] = scaling
+    _PARTIAL["queries"] = {"tokenlog_pipeline": hi["wall_s"]}
 
     # ---- forced-skew writer stress (VERDICT r2 item 9): task-time spread
     # of the sink fan-out write with the hot source at 80%, salted vs not.
@@ -425,6 +479,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             skew = {"error": f"{type(e).__name__}: {e}"}
             print(f"# skew stress failed: {e}", file=sys.stderr)
+    if skew:
+        _PARTIAL["skew_stress"] = skew
 
     # ---- per-query timings on the driver testdata (fresh session at N cores)
     import __spark_entry__ as entrymod
@@ -456,6 +512,7 @@ def main() -> None:
         el = time.time() - t0
         qtimes[name] = round(el, 2)
         total += el
+        _PARTIAL["queries"][name] = qtimes[name]
         print(f"# {name}: {el:.2f}s ({n} rows)", file=sys.stderr)
     spark.stop()
 
@@ -484,10 +541,12 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc()
-        print(json.dumps({
+        err = {
             "metric": "tokenlog parse→enrich→route→aggregate + headline query suite",
             "value": -1.0, "unit": "sec", "queries": {},
             "sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
             "error": f"{type(e).__name__}: {e}",
-        }))
+        }
+        err.update(_PARTIAL)  # keep whatever sections completed pre-crash
+        print(json.dumps(err))
         sys.exit(1)

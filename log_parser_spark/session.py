@@ -27,7 +27,13 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    # local[N, F]: F = per-task retry budget. Plain local[N] defaults to
+    # maxFailures=1, so ONE transient Python-worker crash (observed: the
+    # pyspark daemon fork dying mid-write, ~1 in 10 SF=2 pipeline legs)
+    # aborts the whole job — a real cluster would just retry the task
+    # (spark.task.maxFailures defaults to 4 there). Mirror that here.
+    retries = int(os.environ.get("SPARK_GRAFT_TASK_RETRIES", "4"))
+    master = f"local[{cores},{retries}]"
     n_cores = (os.cpu_count() or 8) if cores == "*" else int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n_cores)
